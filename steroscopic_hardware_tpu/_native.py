@@ -1,0 +1,92 @@
+"""ctypes binding to the C++ native runtime (``native/shtpu_native.cpp``).
+
+Builds the shared library on first use if it is missing (g++ is part of the
+toolchain). Every entry point has a pure-Python fallback in its calling
+module, so the framework still works if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libshtpu_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "shtpu_native.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Return the loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.shtpu_png_unfilter.restype = ctypes.c_int
+        lib.shtpu_png_unfilter.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, u8p,
+        ]
+        lib.shtpu_png_filter_sub.restype = None
+        lib.shtpu_png_filter_sub.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, u8p,
+        ]
+        lib.shtpu_rc_encode.restype = ctypes.c_int64
+        lib.shtpu_rc_encode.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.shtpu_rc_decode.restype = ctypes.c_int64
+        lib.shtpu_rc_decode.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+
+        lib.shtpu_parser_new.restype = ctypes.c_void_p
+        lib.shtpu_parser_free.argtypes = [ctypes.c_void_p]
+        lib.shtpu_parser_feed.restype = ctypes.c_int64
+        lib.shtpu_parser_feed.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+        for name, res in [
+            ("shtpu_parser_frame_ready", ctypes.c_int),
+            ("shtpu_parser_width", ctypes.c_uint32),
+            ("shtpu_parser_height", ctypes.c_uint32),
+            ("shtpu_parser_payload_len", ctypes.c_uint32),
+            ("shtpu_parser_codec", ctypes.c_uint8),
+            ("shtpu_parser_frames", ctypes.c_int64),
+            ("shtpu_parser_dropped", ctypes.c_int64),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = [ctypes.c_void_p]
+        lib.shtpu_parser_take.restype = ctypes.c_int
+        lib.shtpu_parser_take.argtypes = [ctypes.c_void_p, u8p]
+        lib.shtpu_frame_encode.restype = ctypes.c_int64
+        lib.shtpu_frame_encode.argtypes = [
+            u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint8, u8p,
+        ]
+
+        _lib = lib
+        return _lib

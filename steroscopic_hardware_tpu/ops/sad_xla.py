@@ -1,0 +1,117 @@
+"""SAD block-matching disparity in pure XLA (jnp) — TPU-friendly cost-volume
+formulation, bit-exact with the reference per-pixel algorithm
+(``pkg/despair/sad.go:55-94,205-244``; see ``ops/sad_golden.py`` for the
+contract and the border-clipping derivation).
+
+This is the portable production path (runs on CPU/TPU, fully jittable, batch
+and vmap friendly); ``ops/sad_pallas.py`` is the hand-fused TPU kernel.
+
+Algorithm (exact reformulation of the reference semantics):
+  cost[d, y, x] = zero-padded (2h+1)^2 box sum of |L[y,x] - R[y,x-d]|
+  disp[y, x]    = first-occurrence argmin over d in [0, maxD] of cost,
+                  with candidates d > x-h masked invalid (for x < h no
+                  candidate is valid and the output is 0)
+  out[y, x]     = uint8(disp * 255 // maxD)
+
+All arithmetic is int32 (max cost 31*31*255 = 245055 < 2^31); the box sum is
+separable (column then row sliding windows) and the disparity sweep runs as a
+``lax.scan`` over chunks of the disparity axis with a running argmin, keeping
+peak memory at ``d_chunk * H * W`` instead of ``(maxD+1) * H * W``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2**30)
+
+
+def _box_sum_2d(ad: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Zero-padded (2*half+1)^2 box sum over the last two axes (exact int)."""
+    B = 2 * half + 1
+    # column (last axis) sliding sum via padded cumsum difference
+    pad = jnp.pad(ad, [(0, 0)] * (ad.ndim - 1) + [(half + 1, half)])
+    cs = jnp.cumsum(pad, axis=-1)
+    col = cs[..., B:] - cs[..., :-B]
+    # row sliding sum
+    pad = jnp.pad(col, [(0, 0)] * (ad.ndim - 2) + [(half + 1, half), (0, 0)])
+    cs = jnp.cumsum(pad, axis=-2)
+    return cs[..., B:, :] - cs[..., :-B, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
+)
+def disparity_xla(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    d_chunk: int = 16,
+) -> jnp.ndarray:
+    """Dense disparity map, uint8, bit-exact with the reference.
+
+    Args:
+      left, right: uint8 grayscale images, shape (H, W) or batched (..., H, W).
+      block_size: SAD window size B (reference envelope 3-31, odd;
+        ``cmd/handlers/params.go:37``). Even values follow the same
+        ``half = B//2`` semantics as the reference default 16.
+      max_disparity: inclusive disparity sweep bound (envelope 16-256 step
+        16, ``cmd/handlers/params.go:51``).
+      d_chunk: disparities evaluated per scan step (memory/speed knob; does
+        not affect results).
+    """
+    half = block_size // 2
+    W = left.shape[-1]
+    L = left.astype(jnp.int32)
+    R = right.astype(jnp.int32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    # Pad R on the left so shift-by-d becomes a static-size dynamic slice.
+    n_d = max_disparity + 1
+    n_chunks = -(-n_d // d_chunk)
+    Rpad = jnp.pad(R, [(0, 0)] * (R.ndim - 1) + [(max_disparity, 0)])
+
+    def shifted_cost(d):
+        # R shifted right by d with zero fill: Rs[..., x] = R[..., x-d]
+        Rs = jax.lax.dynamic_slice_in_dim(
+            Rpad, max_disparity - d, W, axis=-1
+        )
+        ad = jnp.abs(L - Rs)
+        ad = jnp.where(xs >= d, ad, 0)
+        cost = _box_sum_2d(ad, half)
+        valid = xs >= d + half  # d <= x - half
+        return jnp.where(valid, cost, _BIG)
+
+    def step(carry, chunk_idx):
+        best_cost, best_d = carry
+        d0 = chunk_idx * d_chunk
+
+        def body(i, c):
+            bc, bd = c
+            d = d0 + i
+            # The last chunk may run past max_disparity: clamp the shift
+            # (slice stays in bounds) and mask those candidates invalid.
+            cost = shifted_cost(jnp.minimum(d, max_disparity))
+            cost = jnp.where(d <= max_disparity, cost, _BIG)
+            better = cost < bc
+            bc = jnp.where(better, cost, bc)
+            bd = jnp.where(better, d, bd)
+            return bc, bd
+
+        carry = jax.lax.fori_loop(0, d_chunk, body, (best_cost, best_d))
+        return carry, None
+
+    init = (
+        jnp.full(L.shape, _BIG, dtype=jnp.int32),
+        jnp.zeros(L.shape, dtype=jnp.int32),
+    )
+    (best_cost, best_d), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    del best_cost
+    return ((best_d * 255) // max_disparity).astype(jnp.uint8)
