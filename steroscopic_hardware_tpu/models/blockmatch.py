@@ -1,0 +1,139 @@
+"""BlockMatcher — the stereo block-matching disparity engine.
+
+The model-level API over the SAD kernels: owns the live-retunable parameter
+store (equivalent of the reference's atomic globals,
+``pkg/despair/params.go:8-30``), selects the compute backend (fused Pallas
+kernel on TPU, XLA path elsewhere), and manages jit compile buckets — one
+compiled executable per (block_size, max_disparity, image shape), mirroring
+how the reference revalidates and hot-swaps parameters per chunk
+(``pkg/despair/sad.go:51-53``) without restarting the pipeline.
+
+``RunSad`` parity: :meth:`BlockMatcher.compute` is the equivalent of
+``despair.RunSad`` (``pkg/despair/sad.go:119-169``) — one call, full frame —
+with the worker-pool/chunk machinery replaced by the TPU grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import numpy as np
+
+from steroscopic_hardware_tpu.ops.lr_check import disparity_lr_checked
+from steroscopic_hardware_tpu.ops.sad_pallas import disparity_pallas
+from steroscopic_hardware_tpu.ops.sad_xla import disparity_xla
+from steroscopic_hardware_tpu.utils.params import (
+    VALID_BLOCK_SIZES,
+    VALID_MAX_DISPARITIES,
+    Parameters,
+    ParamStore,
+)
+
+
+def _default_backend() -> str:
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return "xla"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+@dataclasses.dataclass
+class BlockMatcher:
+    """Stereo SAD block matcher with live-retunable parameters.
+
+    Args:
+      params: initial :class:`Parameters` (defaults match the reference:
+        block 16, maxDisparity 64, ``pkg/despair/params.go:14-17``).
+      backend: "pallas" (TPU fused kernel), "xla" (portable), or "auto".
+      lr_threshold: if not None, apply the left-right consistency check
+        with this disparity tolerance.
+    """
+
+    params: Parameters = dataclasses.field(default_factory=Parameters)
+    backend: str = "auto"
+    lr_threshold: int | None = None
+
+    def __post_init__(self):
+        self.store = ParamStore(self.params)
+        if self.backend == "auto":
+            self.backend = _default_backend()
+        if self.backend not in ("pallas", "xla"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    # -- live retuning (POST /update-params equivalent) ---------------------
+    def set_params(self, params: Parameters) -> None:
+        self.store.set(params)
+
+    def get_params(self) -> Parameters:
+        return self.store.get()
+
+    # -- compute ------------------------------------------------------------
+    def _fn(self) -> Callable:
+        return disparity_pallas if self.backend == "pallas" else disparity_xla
+
+    def compute(self, left, right) -> np.ndarray:
+        """Full-frame uint8 disparity with the current parameters."""
+        p = self.store.get()
+        out = self._fn()(
+            jax.numpy.asarray(left),
+            jax.numpy.asarray(right),
+            block_size=p.block_size,
+            max_disparity=p.max_disparity,
+        )
+        return np.asarray(out)
+
+    def compute_checked(self, left, right):
+        """Disparity plus left-right consistency mask."""
+        p = self.store.get()
+        thr = 1 if self.lr_threshold is None else self.lr_threshold
+        disp, valid = disparity_lr_checked(
+            jax.numpy.asarray(left),
+            jax.numpy.asarray(right),
+            block_size=p.block_size,
+            max_disparity=p.max_disparity,
+            threshold=thr,
+        )
+        return np.asarray(disp), np.asarray(valid)
+
+    # -- compile-bucket management ------------------------------------------
+    def warmup(self, shape, params_list=None) -> int:
+        """Pre-compile executables for the given image shape.
+
+        Without ``params_list`` warms the full HTTP-API envelope
+        (15 block sizes x 16 disparities, ``cmd/handlers/params.go:37,51``).
+        Returns the number of buckets compiled.
+        """
+        if params_list is None:
+            params_list = [
+                Parameters(b, d)
+                for b in VALID_BLOCK_SIZES
+                for d in VALID_MAX_DISPARITIES
+            ]
+        dummy = jax.numpy.zeros(shape, jax.numpy.uint8)
+        n = 0
+        for p in params_list:
+            self._fn()(
+                dummy, dummy,
+                block_size=p.block_size, max_disparity=p.max_disparity,
+            )
+            n += 1
+        return n
+
+
+def sweep(
+    left,
+    right,
+    block_sizes=VALID_BLOCK_SIZES,
+    max_disparities=VALID_MAX_DISPARITIES,
+    backend: str = "auto",
+):
+    """Parameter-sweep runner (BASELINE config #2): yields
+    ``(Parameters, disparity_map)`` over the full envelope grid."""
+    m = BlockMatcher(backend=backend)
+    for b in block_sizes:
+        for d in max_disparities:
+            m.set_params(Parameters(b, d))
+            yield m.get_params(), m.compute(left, right)

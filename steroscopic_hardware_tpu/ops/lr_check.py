@@ -1,0 +1,77 @@
+"""Left-right consistency check (new capability named in the north star).
+
+The reference computes left-referenced disparity only; occlusions and
+mismatches survive as noise. The LR check computes the right-referenced
+disparity too and invalidates pixels where the two disagree:
+
+  dL(x, y) = disparity of left pixel x (right match at x - dL)
+  dR(x, y) = disparity of right pixel x (left match at x + dR)
+  valid    iff |dL(x) - dR(x - dL(x))| <= threshold
+
+Invalid pixels are set to ``invalid_value`` (255 by convention — the
+reference's disparity normalization never produces values above
+255*maxD/maxD = 255 only at d = maxD, so callers who need a strict
+sentinel can use the returned mask instead).
+
+The right-referenced sweep reuses the same cost-volume machinery with the
+roles of the images swapped and the scan direction mirrored (implemented by
+horizontally flipping both images, running the standard left sweep, and
+flipping back — an exact equivalence).
+
+Raw (un-normalized) disparities are used for the comparison, matching
+standard stereo practice; the returned map is normalized like the
+reference (``d * 255 // maxD``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_xla
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "max_disparity", "threshold", "invalid_value"),
+)
+def disparity_lr_checked(
+    left,
+    right,
+    *,
+    block_size: int,
+    max_disparity: int,
+    threshold: int = 1,
+    invalid_value: int = 255,
+):
+    """Disparity with left-right consistency filtering.
+
+    Returns ``(disparity_u8, valid_mask)`` where invalid pixels carry
+    ``invalid_value`` in the map and ``False`` in the mask.
+    """
+    dL = disparity_raw_xla(
+        left, right, block_size=block_size, max_disparity=max_disparity
+    )
+    # Right-referenced disparity via the flip trick: matching right pixels
+    # against left pixels at larger x == matching flipped-left against
+    # flipped-right with the standard sweep.
+    dR_f = disparity_raw_xla(
+        right[..., ::-1],
+        left[..., ::-1],
+        block_size=block_size,
+        max_disparity=max_disparity,
+    )
+    dR = dR_f[..., ::-1]
+
+    W = left.shape[-1]
+    xs = jax.lax.broadcasted_iota(jnp.int32, dL.shape, dL.ndim - 1)
+    # Gather dR at x - dL(x) along the last axis.
+    idx = jnp.clip(xs - dL, 0, W - 1)
+    dR_at = jnp.take_along_axis(dR, idx, axis=-1)
+    valid = jnp.abs(dL - dR_at) <= threshold
+
+    disp = ((dL * 255) // max_disparity).astype(jnp.uint8)
+    disp = jnp.where(valid, disp, jnp.uint8(invalid_value))
+    return disp, valid

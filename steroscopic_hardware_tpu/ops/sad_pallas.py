@@ -1,0 +1,233 @@
+"""Fused Pallas TPU kernel: SAD cost volume + winner-take-all disparity.
+
+TPU-native equivalent of the reference's entire compute tier — the Go worker
+pool (``pkg/despair/sad.go:29-113``) and the FPGA datapath
+(``hardware/compute_SAD.v:62-265`` per-pixel WTA FSM and the streaming
+``disparity_top`` design, ``compute_SAD.v:267-545``) — re-designed for the
+VPU/MXU instead of translated:
+
+* The Verilog line buffers + WIN x WIN shift registers become VMEM-resident
+  row tiles with halo; the serial FSM disparity sweep becomes the inner grid
+  dimension with all pixels of a tile evaluated per step in parallel.
+* The separable (2h+1)^2 box sum is computed as static shifted-slice adds on
+  the 8x128 VPU (exact int32 arithmetic).
+* Winner-take-all runs as a running argmin in VMEM scratch across the
+  disparity grid dimension (strict ``<`` so the smallest disparity wins
+  ties, matching ``sad.go:79``); the normalized uint8 map
+  (``bestD * 255 // maxD``, ``sad.go:91-93``) is written once on the final
+  step.
+
+Bit-exact with ``ops/sad_golden.py`` / ``ops/sad_xla.py`` (tested in
+``tests/test_sad_pallas.py``).
+
+Memory layout (built by the jitted wrapper, all static shapes):
+  Lbuf: [h zeros | W image | zeros]                 width Wbuf, height Hp
+  Rbuf: same layout; the per-step disparity shift is a dynamic
+        ``pltpu.roll`` along lanes with wrapped columns masked to zero
+  Hp = n_tiles * TH + 2h rows (h zeros top, zeros bottom)
+with Wout = roundup(W, 128), Wbuf = Wout + 2h. Buffer column j holds image
+column j - h, so every window read is an in-bounds static slice and the
+zero padding implements the reference's border-truncation semantics exactly
+(truncated terms contribute 0 to the sum).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 2**30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
+                 hbm_inputs=True):
+    h = block_size // 2
+    B = 2 * h + 1
+    n_d = max_disparity + 1
+
+    def kernel_vmem(l_ref, r_ref, out_ref, lt32, rs, best_cost, best_d):
+        t = pl.program_id(0)
+        d = pl.program_id(1)
+        row0 = t * TH
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
+        in_image = cols < W + h
+
+        @pl.when(d == 0)
+        def _():
+            lt32[:] = l_ref[pl.ds(row0, TR), :].astype(jnp.int32)
+            rs[:] = jnp.where(
+                in_image, r_ref[pl.ds(row0, TR), :].astype(jnp.int32), 0
+            )
+            best_cost[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+            best_d[:] = jnp.zeros((TH, Wout), jnp.int32)
+
+        _sweep_body(d, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
+
+    def kernel(
+        l_hbm, r_hbm, out_ref, lt_u8, rt_u8, lt32, rs, best_cost, best_d, sems
+    ):
+        t = pl.program_id(0)
+        d = pl.program_id(1)
+        row0 = t * TH
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
+        # Out-of-image columns (buffer col j >= W + h) must read as zero so
+        # the reference's truncated right windows see zeros; applying the
+        # mask to rs on every step keeps shifted-in pixels from surviving.
+        in_image = cols < W + h
+
+        @pl.when(d == 0)
+        def _():
+            # Per-tile init: DMA the row tile (+halo) from HBM — VMEM usage
+            # is bounded regardless of image size — then hoist the
+            # uint8 -> int32 conversion out of the disparity sweep and reset
+            # the winner-take-all accumulators.
+            cl = pltpu.make_async_copy(
+                l_hbm.at[pl.ds(row0, TR), :], lt_u8, sems.at[0]
+            )
+            cr = pltpu.make_async_copy(
+                r_hbm.at[pl.ds(row0, TR), :], rt_u8, sems.at[1]
+            )
+            cl.start()
+            cr.start()
+            cl.wait()
+            cr.wait()
+            lt32[:] = lt_u8[:].astype(jnp.int32)
+            rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
+            best_cost[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+            best_d[:] = jnp.zeros((TH, Wout), jnp.int32)
+        _sweep_body(d, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
+
+    def _sweep_body(d, h, B, in_image, out_ref, lt32, rs, best_cost, best_d):
+        @pl.when(d > 0)
+        def _():
+            # Incremental disparity shift: one static lane shift with zero
+            # fill per step (rs[:, j] = R[:, j - h - d] for in-range cols).
+            shifted = jnp.concatenate(
+                [jnp.zeros((TR, 1), jnp.int32), rs[:, : Wbuf - 1]], axis=1
+            )
+            rs[:] = jnp.where(in_image, shifted, 0)
+
+        ad = jnp.abs(lt32[:] - rs[:])
+
+        # Separable box sum: columns (lane axis) then rows (sublane axis).
+        colsum = ad[:, 0:Wout]
+        for k in range(1, B):
+            colsum = colsum + ad[:, k : k + Wout]
+        cost = colsum[0:TH, :]
+        for k in range(1, B):
+            cost = cost + colsum[k : k + TH, :]
+
+        # Candidate validity: d <= x - h  (for x < h no candidate is valid,
+        # best_d stays 0 -> output 0, matching the reference).
+        x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
+        cost = jnp.where(x >= d + h, cost, _BIG)
+
+        better = cost < best_cost[:]
+        best_cost[:] = jnp.where(better, cost, best_cost[:])
+        best_d[:] = jnp.where(better, d, best_d[:])
+
+        @pl.when(d == n_d - 1)
+        def _():
+            out_ref[:] = (
+                (best_d[:] * 255) // max_disparity
+            ).astype(jnp.uint8)
+
+    return kernel if hbm_inputs else kernel_vmem
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_size", "max_disparity", "row_tile", "hbm_inputs", "interpret"
+    ),
+)
+def disparity_pallas(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    row_tile: int = 128,
+    hbm_inputs: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense uint8 disparity map on TPU via the fused Pallas kernel.
+
+    Args: uint8 grayscale (H, W) images; parameters as in
+    :func:`steroscopic_hardware_tpu.ops.sad_xla.disparity_xla`.
+    """
+    if left.shape != right.shape or left.ndim != 2:
+        raise ValueError("left/right must be identical-shape (H, W) images")
+    H, W = left.shape
+    h = block_size // 2
+    TH = min(row_tile, _round_up(max(H, 8), 8))
+    n_tiles = -(-H // TH)
+    # Native-tile-aligned shapes: lane dims multiples of 128, sublane loads
+    # multiples of 8, so Mosaic keeps everything in the natural layout (the
+    # dynamic rotate requires it).
+    Wout = _round_up(W, 128)
+    Wbuf = _round_up(Wout + 2 * h, 128)
+    # TR is a multiple of 32 so the HBM->VMEM DMA of uint8 row tiles starts
+    # and ends on native (32, 128) tile boundaries.
+    TR = _round_up(TH + 2 * h, 32)
+    Hp = n_tiles * TH + (TR - TH)
+    n_d = max_disparity + 1
+
+    Lbuf = jnp.zeros((Hp, Wbuf), jnp.uint8)
+    Lbuf = jax.lax.dynamic_update_slice(Lbuf, left, (h, h))
+    Rbuf = jnp.zeros((Hp, Wbuf), jnp.uint8)
+    Rbuf = jax.lax.dynamic_update_slice(Rbuf, right, (h, h))
+
+    kernel = _make_kernel(
+        H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
+        hbm_inputs=hbm_inputs,
+    )
+    if hbm_inputs:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ]
+        scratch = [
+            pltpu.VMEM((TR, Wbuf), jnp.uint8),  # lt_u8 DMA stage
+            pltpu.VMEM((TR, Wbuf), jnp.uint8),  # rt_u8 DMA stage
+            pltpu.VMEM((TR, Wbuf), jnp.int32),  # lt32
+            pltpu.VMEM((TR, Wbuf), jnp.int32),  # rs (shifted right image)
+            pltpu.VMEM((TH, Wout), jnp.int32),  # best_cost
+            pltpu.VMEM((TH, Wout), jnp.int32),  # best_d
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec(
+                (Hp, Wbuf), lambda t, d: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Hp, Wbuf), lambda t, d: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        scratch = [
+            pltpu.VMEM((TR, Wbuf), jnp.int32),  # lt32
+            pltpu.VMEM((TR, Wbuf), jnp.int32),  # rs (shifted right image)
+            pltpu.VMEM((TH, Wout), jnp.int32),  # best_cost
+            pltpu.VMEM((TH, Wout), jnp.int32),  # best_d
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_d),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TH, Wout), lambda t, d: (t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.uint8),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(Lbuf, Rbuf)
+    return out[:H, :W]

@@ -45,7 +45,7 @@ def _box_sum_2d(ad: jnp.ndarray, half: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
 )
-def disparity_xla(
+def disparity_raw_xla(
     left: jnp.ndarray,
     right: jnp.ndarray,
     *,
@@ -53,18 +53,7 @@ def disparity_xla(
     max_disparity: int,
     d_chunk: int = 16,
 ) -> jnp.ndarray:
-    """Dense disparity map, uint8, bit-exact with the reference.
-
-    Args:
-      left, right: uint8 grayscale images, shape (H, W) or batched (..., H, W).
-      block_size: SAD window size B (reference envelope 3-31, odd;
-        ``cmd/handlers/params.go:37``). Even values follow the same
-        ``half = B//2`` semantics as the reference default 16.
-      max_disparity: inclusive disparity sweep bound (envelope 16-256 step
-        16, ``cmd/handlers/params.go:51``).
-      d_chunk: disparities evaluated per scan step (memory/speed knob; does
-        not affect results).
-    """
+    """Raw (un-normalized, int32) winner-take-all disparity sweep."""
     half = block_size // 2
     W = left.shape[-1]
     L = left.astype(jnp.int32)
@@ -106,12 +95,46 @@ def disparity_xla(
         carry = jax.lax.fori_loop(0, d_chunk, body, (best_cost, best_d))
         return carry, None
 
-    init = (
-        jnp.full(L.shape, _BIG, dtype=jnp.int32),
-        jnp.zeros(L.shape, dtype=jnp.int32),
-    )
+    # Derive the carry from L (full_like/zeros_like) so it inherits L's
+    # varying manual axes under shard_map.
+    init = (jnp.full_like(L, _BIG), jnp.zeros_like(L))
     (best_cost, best_d), _ = jax.lax.scan(
         step, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
     del best_cost
+    return best_d
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
+)
+def disparity_xla(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    d_chunk: int = 16,
+) -> jnp.ndarray:
+    """Dense disparity map, uint8, bit-exact with the reference.
+
+    Args:
+      left, right: uint8 grayscale images, shape (H, W) or batched (..., H, W).
+      block_size: SAD window size B (reference envelope 3-31, odd;
+        ``cmd/handlers/params.go:37``). Even values follow the same
+        ``half = B//2`` semantics as the reference default 16.
+      max_disparity: inclusive disparity sweep bound (envelope 16-256 step
+        16, ``cmd/handlers/params.go:51``).
+      d_chunk: disparities evaluated per scan step (memory/speed knob; does
+        not affect results).
+    """
+    best_d = disparity_raw_xla(
+        left,
+        right,
+        block_size=block_size,
+        max_disparity=max_disparity,
+        d_chunk=d_chunk,
+    )
+    # Normalization: uint8(bestD * 255 / maxD), integer division
+    # (pkg/despair/sad.go:91-93).
     return ((best_d * 255) // max_disparity).astype(jnp.uint8)

@@ -1,0 +1,83 @@
+"""Left-right consistency check and BlockMatcher model tests."""
+
+import numpy as np
+
+from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher, sweep
+from steroscopic_hardware_tpu.ops.lr_check import disparity_lr_checked
+from steroscopic_hardware_tpu.ops.sad_golden import disparity_numpy
+from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_xla
+from steroscopic_hardware_tpu.utils.params import Parameters
+
+
+def _shifted_pair(rng, h, w, shift):
+    left = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    right = np.roll(left, -shift, axis=1)
+    return left, right
+
+
+def test_raw_disparity_matches_normalized(rng):
+    left, right = _shifted_pair(rng, 24, 48, 3)
+    raw = np.asarray(
+        disparity_raw_xla(left, right, block_size=7, max_disparity=16)
+    )
+    norm = disparity_numpy(left, right, 7, 16)
+    assert np.array_equal(((raw * 255) // 16).astype(np.uint8), norm)
+
+
+def test_lr_check_consistent_on_pure_shift(rng):
+    """A purely shifted pair is consistent wherever the texture matches."""
+    left, right = _shifted_pair(rng, 32, 96, 4)
+    disp, valid = disparity_lr_checked(
+        left, right, block_size=7, max_disparity=16, threshold=1
+    )
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    # Interior pixels (away from the wrap-around and borders) must be valid
+    # and carry disparity 4 * 255 // 16.
+    interior = valid[8:-8, 24:64]
+    assert interior.mean() > 0.95
+    assert (disp[8:-8, 24:64][interior] == (4 * 255) // 16).mean() > 0.95
+
+
+def test_lr_check_flags_occlusions(rng):
+    """Uncorrelated images should be heavily invalidated."""
+    left = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    right = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    _, valid = disparity_lr_checked(
+        left, right, block_size=7, max_disparity=16, threshold=1
+    )
+    assert np.asarray(valid)[:, 24:].mean() < 0.7
+
+
+def test_blockmatcher_matches_reference_semantics(rng):
+    left, right = _shifted_pair(rng, 20, 40, 2)
+    m = BlockMatcher(backend="xla")
+    m.set_params(Parameters(7, 16))
+    out = m.compute(left, right)
+    assert np.array_equal(out, disparity_numpy(left, right, 7, 16))
+
+
+def test_blockmatcher_live_retune(rng):
+    left, right = _shifted_pair(rng, 20, 40, 2)
+    m = BlockMatcher(backend="xla")
+    m.set_params(Parameters(3, 16))
+    a = m.compute(left, right)
+    m.set_params(Parameters(9, 32))  # no restart needed
+    b = m.compute(left, right)
+    assert np.array_equal(a, disparity_numpy(left, right, 3, 16))
+    assert np.array_equal(b, disparity_numpy(left, right, 9, 32))
+
+
+def test_sweep_runner(rng):
+    left, right = _shifted_pair(rng, 16, 32, 2)
+    results = list(
+        sweep(left, right, block_sizes=(3, 7), max_disparities=(16, 32),
+              backend="xla")
+    )
+    assert len(results) == 4
+    for params, out in results:
+        assert out.shape == left.shape
+        assert np.array_equal(
+            out,
+            disparity_numpy(left, right, params.block_size,
+                            params.max_disparity),
+        )

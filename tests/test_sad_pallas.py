@@ -1,0 +1,66 @@
+"""Pallas fused-kernel bit-exactness (interpret mode on the CPU mesh).
+
+On real TPU hardware the same kernel is exercised by ``bench.py`` and
+``__graft_entry__.py``; here the Mosaic interpreter validates both kernel
+variants (HBM-DMA tiles and full-VMEM inputs) against the numpy
+cost-volume reference, which is itself validated against the literal Go
+semantics in ``test_sad_bitexact.py``.
+"""
+
+import numpy as np
+import pytest
+
+from steroscopic_hardware_tpu.ops.sad_golden import disparity_numpy
+from steroscopic_hardware_tpu.ops.sad_pallas import disparity_pallas
+
+
+def _pair(rng, h, w):
+    left = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    right = np.clip(
+        np.roll(left, -4, axis=1).astype(int) + rng.integers(-2, 3, (h, w)),
+        0,
+        255,
+    ).astype(np.uint8)
+    return left, right
+
+
+@pytest.mark.parametrize("hbm", [True, False])
+@pytest.mark.parametrize(
+    "h,w,block,maxd,rt",
+    [
+        (20, 26, 3, 16, 128),   # tiny, single tile
+        (40, 60, 7, 16, 128),
+        (33, 31, 31, 16, 128),  # max block, heavy borders
+        (64, 130, 9, 48, 32),   # multiple row tiles
+        (100, 90, 16, 64, 32),  # even block size, multiple tiles
+        (48, 64, 5, 256, 128),  # maxD >> W
+    ],
+)
+def test_pallas_vs_numpy(rng, hbm, h, w, block, maxd, rt):
+    left, right = _pair(rng, h, w)
+    want = disparity_numpy(left, right, block, maxd)
+    got = np.asarray(
+        disparity_pallas(
+            left,
+            right,
+            block_size=block,
+            max_disparity=maxd,
+            row_tile=rt,
+            hbm_inputs=hbm,
+            interpret=True,
+        )
+    )
+    assert np.array_equal(want, got), np.argwhere(want != got)[:5]
+
+
+def test_pallas_real_crop(stereo_pair_small):
+    left, right = stereo_pair_small
+    lc, rc = left[100:180, 100:260], right[100:180, 100:260]
+    want = disparity_numpy(lc, rc, 7, 64)
+    got = np.asarray(
+        disparity_pallas(
+            lc, rc, block_size=7, max_disparity=64, row_tile=32,
+            interpret=True,
+        )
+    )
+    assert np.array_equal(want, got)
