@@ -1,0 +1,68 @@
+"""Application entry point: ``python -m steroscopic_hardware_tpu``.
+
+Boot sequence parity with ``cmd/root.go:54-157`` / ``main.go``: install
+signal-aware shutdown, start left/right static test cameras
+(``root.go:160-189`` boots on testdata L_00001/R_00001), start the depth
+pipeline and HTTP server, block until SIGINT/SIGTERM, then shut down
+gracefully (10 s budget, ``root.go:28-29``) and dump the log buffer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import threading
+
+from steroscopic_hardware_tpu.runtime import logger as shlog
+from steroscopic_hardware_tpu.runtime.manager import CameraManager
+from steroscopic_hardware_tpu.runtime.pipeline import DepthPipeline
+from steroscopic_hardware_tpu.runtime.server import AppContext, Server
+from steroscopic_hardware_tpu.runtime.sources import StaticSource
+
+DEFAULT_TESTDATA = "/root/reference/testdata"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU stereo depth server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--left", default=None, help="left boot image (PNG)")
+    ap.add_argument("--right", default=None, help="right boot image (PNG)")
+    ap.add_argument("--fps", type=float, default=10.0)
+    ap.add_argument("--lr-check", action="store_true")
+    args = ap.parse_args(argv)
+
+    log = shlog.get_logger("main")
+    manager = CameraManager()
+    pipeline = DepthPipeline(manager.bus, lr_check=args.lr_check)
+    ctx = AppContext(manager=manager, pipeline=pipeline)
+
+    left = args.left or os.path.join(DEFAULT_TESTDATA, "L_00001.png")
+    right = args.right or os.path.join(DEFAULT_TESTDATA, "R_00001.png")
+    if os.path.exists(left) and os.path.exists(right):
+        manager.set_source(
+            "left", StaticSource(manager.bus, "left", left, fps=args.fps)
+        )
+        manager.set_source(
+            "right", StaticSource(manager.bus, "right", right, fps=args.fps)
+        )
+    else:
+        log.warning("boot images missing; configure cameras via the API")
+
+    server = Server(ctx, host=args.host, port=args.port)
+    server.start()
+    log.info("live view: http://%s:%d/live", args.host, server.port)
+
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: stop.set())
+    try:
+        stop.wait()
+    finally:
+        log.info("shutting down")
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Camera-device emitter: the protocol-level fake of a capture board.
+
+Plays the role of the Zedboard firmware loop (``camera_app.c:130-233``:
+wait for 0xFFD8, ack 0x01, stream frames, stop on 0xFFD9) over TCP. Used
+by tests as the fake backend (the reference's own strategy: protocol
+assertions without real hardware, ``image_receive/image_receive.c:142-225``)
+and usable as a real bridge process feeding live imagery into the engine.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+import numpy as np
+
+from steroscopic_hardware_tpu.runtime import wire
+from steroscopic_hardware_tpu.runtime.logger import get_logger
+
+
+class CameraEmitter:
+    """TCP server that streams frames from ``frame_fn(index) -> ndarray``
+    to every client that sends the start sequence."""
+
+    def __init__(self, frame_fn, host="127.0.0.1", port=0,
+                 codec: int = wire.CODEC_RAW, fps: float = 30.0,
+                 max_frames: int | None = None):
+        self.frame_fn = frame_fn
+        self.codec = codec
+        self.fps = fps
+        self.max_frames = max_frames
+        self.log = get_logger("CameraEmitter")
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(4)
+        self.port = self._sock.getsockname()[1]
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def close(self):
+        self._closed.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self):
+        while not self._closed.is_set():
+            try:
+                conn, addr = self._sock.accept()
+            except OSError:
+                break
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket):
+        import time
+
+        with conn:
+            try:
+                start = conn.recv(2)
+                if start != wire.START_SEQ:
+                    return
+                conn.sendall(wire.ACK)
+                conn.setblocking(False)
+                n = 0
+                period = 1.0 / self.fps
+                while not self._closed.is_set():
+                    if self.max_frames is not None and n >= self.max_frames:
+                        break
+                    # non-blocking check for the stop sequence
+                    try:
+                        data = conn.recv(2)
+                        if wire.END_SEQ in data or data == b"":
+                            break
+                    except BlockingIOError:
+                        pass
+                    frame = np.asarray(self.frame_fn(n), dtype=np.uint8)
+                    conn.setblocking(True)
+                    conn.sendall(wire.encode_frame(frame, codec=self.codec))
+                    conn.setblocking(False)
+                    n += 1
+                    time.sleep(period)
+            except (OSError, BrokenPipeError):
+                pass

@@ -1,0 +1,105 @@
+"""Depth pipeline: the output-camera equivalent.
+
+The reference's ``OutputCamera`` free-runs: read the latest left/right
+PNGs from disk, run the worker-pool SAD, write ``output.png``, log elapsed
+(``pkg/camera/output.go:44-210``). Here the loop blocks on the in-memory
+bus for a fresh stereo pair, runs the TPU disparity engine (the
+``BlockMatcher`` model, live-retunable), publishes the depth map to the
+``out`` slot, and keeps rolling fps / latency metrics — the first-class
+perf counters the reference lacked (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+
+import numpy as np
+
+from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
+from steroscopic_hardware_tpu.runtime.bus import FrameBus
+from steroscopic_hardware_tpu.runtime.logger import get_logger
+
+
+class DepthPipeline:
+    def __init__(self, bus: FrameBus, matcher: BlockMatcher | None = None,
+                 left_slot="left", right_slot="right", out_slot="out",
+                 lr_check: bool = False):
+        self.bus = bus
+        self.matcher = matcher or BlockMatcher()
+        self.left_slot = left_slot
+        self.right_slot = right_slot
+        self.out_slot = out_slot
+        self.lr_check = lr_check
+        self.log = get_logger("pipeline")
+        self._closed = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._times = collections.deque(maxlen=100)
+        self.frames = 0
+        self.errors = 0
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        return self
+
+    def close(self, timeout: float = 5.0):
+        self._closed.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def step(self) -> np.ndarray | None:
+        """One synchronous pipeline iteration (for tests and batch use)."""
+        lf = self.bus.latest(self.left_slot)
+        rf = self.bus.latest(self.right_slot)
+        if lf is None or rf is None:
+            return None
+        t0 = time.time()
+        left, right = lf.data, rf.data
+        if left.shape != right.shape:
+            # mismatched feeds: crop to the common size, the tolerant
+            # behavior the reference approximates by full-frame reads
+            h = min(left.shape[0], right.shape[0])
+            w = min(left.shape[1], right.shape[1])
+            left, right = left[:h, :w], right[:h, :w]
+        if self.lr_check:
+            depth, _ = self.matcher.compute_checked(left, right)
+        else:
+            depth = self.matcher.compute(left, right)
+        self._times.append(time.time() - t0)
+        self.frames += 1
+        self.bus.publish(self.out_slot, depth, source="DepthPipeline")
+        return depth
+
+    def _run(self):
+        last_seq = 0
+        while not self._closed.is_set():
+            f = self.bus.wait_next(self.left_slot, last_seq, timeout=0.5)
+            if f is None:
+                continue
+            last_seq = f.seq
+            try:
+                self.step()
+            except Exception as e:  # keep the loop alive (output.go:106-122)
+                self.errors += 1
+                self.log.warning("pipeline error: %s", e)
+                time.sleep(0.01)
+
+    def metrics(self) -> dict:
+        times = list(self._times)
+        if not times:
+            return {"frames": self.frames, "errors": self.errors}
+        p = self.matcher.get_params()
+        arr = np.array(times)
+        return {
+            "frames": self.frames,
+            "errors": self.errors,
+            "fps": round(1.0 / float(arr.mean()), 2),
+            "ms_mean": round(float(arr.mean()) * 1000, 2),
+            "ms_p50": round(float(np.median(arr)) * 1000, 2),
+            "ms_p95": round(float(np.percentile(arr, 95)) * 1000, 2),
+            "block_size": p.block_size,
+            "max_disparity": p.max_disparity,
+        }

@@ -1,0 +1,306 @@
+"""HTTP serving layer — the Go webserver replacement.
+
+Route parity with ``cmd/routes.go:25-112`` / ``cmd/handlers``:
+
+  GET  /                      redirect to /live (routes.go:28-31)
+  GET  /live                  live view page (live.templ)
+  GET  /stream/{left|right|out}   one PNG per request (stream.go:14-37)
+  GET  /mjpeg/{left|right|out}    multipart live stream (push upgrade over
+                                  the reference's 1 s iframe polling)
+  POST /update-params         validated blockSize/maxDisparity retune
+                              (params.go:14-69; envelope 3-31 odd,
+                              16-256 step 16)
+  GET  /params                current parameters as JSON
+  POST /{left|right}/configure    attach a TCP camera source
+                                  (configure.go:26-120, port/codec form)
+  POST /upload                multipart PNG upload -> static source swap,
+                              32 MB cap (upload.go:16-97)
+  GET  /checkhealth           liveness (routes.go:32)
+  GET  /exit                  in-memory log buffer dump (routes.go:38-44)
+  GET  /ports                 ingest endpoint discovery (ports.go:14-61
+                              equivalent; TCP listeners instead of UART)
+  GET  /metrics               pipeline fps/latency + source status (new)
+
+Implemented on stdlib ThreadingHTTPServer: no third-party web framework,
+graceful shutdown, streaming-friendly (unbounded write timeouts like
+root.go:36's 999 s WriteTimeout).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from steroscopic_hardware_tpu.io.png import write_png
+from steroscopic_hardware_tpu.runtime import logger as shlog
+from steroscopic_hardware_tpu.runtime.bus import FrameBus
+from steroscopic_hardware_tpu.runtime.manager import CameraManager
+from steroscopic_hardware_tpu.runtime.pipeline import DepthPipeline
+from steroscopic_hardware_tpu.runtime.sources import StaticSource, TcpSource
+from steroscopic_hardware_tpu.utils.params import (
+    ParamValidationError,
+    validate_params,
+)
+
+MAX_UPLOAD = 32 << 20  # handlers/upload.go:21
+
+_LIVE_HTML = """<!doctype html>
+<html><head><title>stereo tpu — live</title>
+<style>
+body{font-family:system-ui;margin:2rem;background:#111;color:#eee}
+.row{display:flex;gap:1rem;flex-wrap:wrap}
+figure{margin:0}figcaption{text-align:center;padding:.3rem;color:#aaa}
+img{max-width:30vw;border:1px solid #333;background:#000}
+label{display:block;margin-top:.8rem}
+#metrics{white-space:pre;font-family:monospace;color:#8c8;margin-top:1rem}
+</style></head><body>
+<h2>stereo depth — live</h2>
+<div class="row">
+<figure><img id="left" src="/mjpeg/left"><figcaption>left</figcaption></figure>
+<figure><img id="right" src="/mjpeg/right"><figcaption>right</figcaption></figure>
+<figure><img id="out" src="/mjpeg/out"><figcaption>depth</figcaption></figure>
+</div>
+<form id="params">
+<label>block size <input type="range" name="blockSize" min="3" max="31"
+ step="2" value="7"><span id="bsv">7</span></label>
+<label>max disparity <input type="range" name="maxDisparity" min="16"
+ max="256" step="16" value="64"><span id="mdv">64</span></label>
+</form>
+<div id="metrics"></div>
+<script>
+const form=document.getElementById('params');let t;
+form.addEventListener('input',e=>{
+ document.getElementById('bsv').textContent=form.blockSize.value;
+ document.getElementById('mdv').textContent=form.maxDisparity.value;
+ clearTimeout(t);t=setTimeout(()=>fetch('/update-params',{method:'POST',
+  body:new URLSearchParams(new FormData(form))}),300);});
+setInterval(async()=>{const r=await fetch('/metrics');
+ document.getElementById('metrics').textContent=
+  JSON.stringify(await r.json(),null,1);},1000);
+</script></body></html>"""
+
+
+class AppContext:
+    """Wires bus + manager + pipeline + config for the handler."""
+
+    def __init__(self, manager: CameraManager | None = None,
+                 pipeline: DepthPipeline | None = None):
+        self.manager = manager or CameraManager()
+        self.bus: FrameBus = self.manager.bus
+        self.pipeline = pipeline or DepthPipeline(self.bus)
+        self.log = shlog.get_logger("server")
+        self.started = time.time()
+
+
+def _make_handler(ctx: AppContext):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through our logger
+            ctx.log.debug(fmt % args)
+
+        # -- helpers --------------------------------------------------------
+        def _send(self, code: int, body: bytes,
+                  ctype="text/plain; charset=utf-8", extra=None):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode(),
+                       "application/json")
+
+        def _form(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_UPLOAD:
+                raise ValueError("body too large")
+            raw = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                return self._multipart(raw, ctype)
+            data = urllib.parse.parse_qs(raw.decode())
+            return {k: v[0] for k, v in data.items()}
+
+        def _multipart(self, raw: bytes, ctype: str) -> dict:
+            boundary = ctype.split("boundary=")[1].strip().strip('"')
+            sep = ("--" + boundary).encode()
+            fields = {}
+            for part in raw.split(sep):
+                part = part.strip(b"\r\n")
+                if not part or part == b"--":
+                    continue
+                if b"\r\n\r\n" not in part:
+                    continue
+                head, body = part.split(b"\r\n\r\n", 1)
+                head = head.decode(errors="replace")
+                name = None
+                for piece in head.split(";"):
+                    piece = piece.strip()
+                    if piece.startswith("name="):
+                        name = piece[5:].strip('"')
+                if name:
+                    fields[name] = body
+            return fields
+
+        # -- GET ------------------------------------------------------------
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/":
+                self._send(302, b"", extra={"Location": "/live"})
+            elif path == "/live":
+                self._send(200, _LIVE_HTML.encode(),
+                           "text/html; charset=utf-8")
+            elif path.startswith("/stream/"):
+                self._stream_once(path.split("/")[-1])
+            elif path.startswith("/mjpeg/"):
+                self._stream_live(path.split("/")[-1])
+            elif path == "/checkhealth":
+                self._send(200, b"OK")
+            elif path == "/params":
+                self._json(ctx.pipeline.matcher.get_params().to_json())
+            elif path == "/metrics":
+                self._json({
+                    "pipeline": ctx.pipeline.metrics(),
+                    "sources": ctx.manager.status(),
+                    "uptime_s": round(time.time() - ctx.started, 1),
+                })
+            elif path == "/exit":
+                self._send(200, shlog.dump_buffer())
+            elif path == "/ports":
+                # UART enumeration equivalent: advertise TCP ingest targets
+                self._json({"ports": [], "hint":
+                            "POST /left/configure host=<h> port=<p>"})
+            else:
+                self._send(404, b"not found")
+
+        def _stream_once(self, name: str):
+            f = ctx.bus.latest(name)
+            if f is None:
+                self._send(404, f"no frames on {name!r}".encode())
+                return
+            self._send(200, write_png(None, f.data, compress_level=1),
+                       "image/png")
+
+        def _stream_live(self, name: str):
+            """multipart/x-mixed-replace push stream of PNG frames."""
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                "multipart/x-mixed-replace; boundary=frame",
+            )
+            self.end_headers()
+            last = 0
+            try:
+                while True:
+                    f = ctx.bus.wait_next(name, last, timeout=2.0)
+                    if f is None:
+                        continue
+                    last = f.seq
+                    png = write_png(None, f.data, compress_level=1)
+                    self.wfile.write(
+                        b"--frame\r\nContent-Type: image/png\r\n"
+                        + f"Content-Length: {len(png)}\r\n\r\n".encode()
+                        + png + b"\r\n"
+                    )
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                return
+
+        # -- POST -----------------------------------------------------------
+        def do_POST(self):
+            path = urllib.parse.urlparse(self.path).path
+            try:
+                if path == "/update-params":
+                    self._update_params()
+                elif path in ("/left/configure", "/right/configure"):
+                    self._configure(path.split("/")[1])
+                elif path == "/upload":
+                    self._upload()
+                else:
+                    self._send(404, b"not found")
+            except ParamValidationError as e:
+                self._json({"error": str(e)}, code=400)
+            except Exception as e:
+                ctx.log.warning("handler error on %s: %s", path, e)
+                self._json({"error": str(e)}, code=500)
+
+        def _update_params(self):
+            form = self._form()
+            params = validate_params(
+                int(form.get("blockSize", 0)),
+                int(form.get("maxDisparity", 0)),
+            )
+            ctx.pipeline.matcher.set_params(params)
+            ctx.log.info("params updated %s", params.to_json())
+            self._json(params.to_json())
+
+        def _configure(self, side: str):
+            form = self._form()
+            host = form.get("host", "127.0.0.1")
+            port = int(form.get("port", 0))
+            if isinstance(host, bytes):
+                host = host.decode()
+            if port <= 0:
+                raise ParamValidationError("port required")
+            src = TcpSource(ctx.bus, side, host, port)
+            ctx.manager.set_source(side, src)
+            self._json({"configured": side, "host": host, "port": port})
+
+        def _upload(self):
+            form = self._form()
+            side = form.get("type", b"left")
+            if isinstance(side, bytes):
+                side = side.decode()
+            if side not in ("left", "right"):
+                raise ParamValidationError(f"bad camera type {side!r}")
+            blob = form.get("image")
+            if not blob:
+                raise ParamValidationError("missing image field")
+            from steroscopic_hardware_tpu.ops.gray import to_grayscale
+            from steroscopic_hardware_tpu.io.png import read_png
+
+            gray = to_grayscale(read_png(bytes(blob)))
+            src = StaticSource(ctx.bus, side, np.asarray(gray))
+            ctx.manager.set_source(side, src)
+            self._json({"uploaded": side, "shape": list(gray.shape)})
+
+    return Handler
+
+
+class Server:
+    """Lifecycle wrapper: serve_forever on a daemon thread, graceful
+    shutdown closing sources and pipeline (cmd/root.go:195-215)."""
+
+    def __init__(self, ctx: AppContext | None = None,
+                 host="127.0.0.1", port=0):
+        self.ctx = ctx or AppContext()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(self.ctx)
+        )
+        self.httpd.daemon_threads = True
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self.ctx.pipeline.start()
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        self.ctx.log.info("serving on port %d", self.port)
+        return self
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.ctx.pipeline.close()
+        self.ctx.manager.close_all()

@@ -1,0 +1,206 @@
+"""Streaming-runtime tests: bus, sources, manager, pipeline, wire
+protocol, emitter<->TcpSource over a real socket, LZMA codec.
+
+These are the protocol-level fakes the reference itself uses in place of
+hardware (SURVEY.md section 4: UART assertions in image_receive.c TEST
+mode; golden vectors for the fabric)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from steroscopic_hardware_tpu.io import lzma_codec
+from steroscopic_hardware_tpu.runtime import wire
+from steroscopic_hardware_tpu.runtime.bus import FrameBus
+from steroscopic_hardware_tpu.runtime.emitter import CameraEmitter
+from steroscopic_hardware_tpu.runtime.manager import CameraManager
+from steroscopic_hardware_tpu.runtime.pipeline import DepthPipeline
+from steroscopic_hardware_tpu.runtime.sources import (
+    StaticSource,
+    SyntheticSource,
+    TcpSource,
+)
+from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
+from steroscopic_hardware_tpu.utils.params import Parameters
+
+
+def _wait(cond, timeout=5.0, dt=0.01):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(dt)
+    return False
+
+
+# -- bus ---------------------------------------------------------------------
+
+def test_bus_publish_latest_wait(rng):
+    bus = FrameBus()
+    assert bus.latest("left") is None
+    f1 = bus.publish("left", rng.integers(0, 256, (4, 4), dtype=np.uint8))
+    assert f1.seq == 1
+    f2 = bus.publish("left", rng.integers(0, 256, (4, 4), dtype=np.uint8))
+    assert bus.latest("left").seq == 2
+    assert bus.wait_next("left", 1, timeout=0.1).seq == 2
+    assert bus.wait_next("left", 2, timeout=0.05) is None
+    assert np.array_equal(bus.latest("left").data, f2.data)
+
+
+# -- sources + manager -------------------------------------------------------
+
+def test_static_source_publishes(tmp_path, rng):
+    from steroscopic_hardware_tpu.io.png import write_png
+
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    bus = FrameBus()
+    src = StaticSource(bus, "left", p, fps=100.0).start()
+    assert _wait(lambda: bus.seq("left") >= 3)
+    assert np.array_equal(bus.latest("left").data, img)
+    src.pause()
+    s = bus.seq("left")
+    time.sleep(0.1)
+    assert bus.seq("left") <= s + 1  # at most one in-flight frame
+    src.resume()
+    assert _wait(lambda: bus.seq("left") > s + 1)
+    src.close()
+    assert src.closed
+
+
+def test_manager_swap_and_close(rng):
+    mgr = CameraManager()
+    a = SyntheticSource(mgr.bus, "left", shape=(8, 16), fps=200.0)
+    mgr.set_source("left", a)
+    assert _wait(lambda: mgr.bus.seq("left") > 0)
+    b = SyntheticSource(mgr.bus, "left", shape=(8, 16), fps=200.0)
+    mgr.set_source("left", b)  # pause-swap-close dance
+    assert a.closed and not b.closed
+    st = mgr.status()
+    assert st["left"]["type"] == "SyntheticSource"
+    mgr.close_all()
+    assert b.closed
+    assert mgr.status() == {}
+
+
+# -- pipeline ----------------------------------------------------------------
+
+def test_pipeline_end_to_end(rng):
+    mgr = CameraManager()
+    mgr.set_source("left", SyntheticSource(
+        mgr.bus, "left", shape=(32, 64), fps=100.0, shift=0, seed=7))
+    mgr.set_source("right", SyntheticSource(
+        mgr.bus, "right", shape=(32, 64), fps=100.0, shift=4, seed=7))
+    matcher = BlockMatcher(backend="xla")
+    matcher.set_params(Parameters(7, 16))
+    pipe = DepthPipeline(mgr.bus, matcher).start()
+    try:
+        assert _wait(lambda: pipe.frames >= 3, timeout=20.0)
+        out = mgr.bus.latest("out")
+        assert out is not None and out.data.shape == (32, 64)
+        m = pipe.metrics()
+        assert m["frames"] >= 3 and m["block_size"] == 7
+    finally:
+        pipe.close()
+        mgr.close_all()
+
+
+# -- wire protocol ------------------------------------------------------------
+
+@pytest.mark.parametrize("codec", [wire.CODEC_RAW, wire.CODEC_RANGE,
+                                   wire.CODEC_LZMA])
+def test_wire_roundtrip(rng, codec):
+    frame = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    blob = wire.encode_frame(frame, codec=codec)
+    parser = wire.FrameParser()
+    # feed in awkward chunk sizes with garbage prefix
+    stream = b"junk\xff" + blob + b"\xfftail"
+    got = []
+    for i in range(0, len(stream), 7):
+        got.extend(parser.feed(stream[i : i + 7]))
+    assert len(got) == 1
+    assert np.array_equal(got[0], frame)
+    assert parser.bytes_dropped >= 5
+
+
+def test_wire_multiple_frames(rng):
+    frames = [rng.integers(0, 256, (8, 16), dtype=np.uint8)
+              for _ in range(3)]
+    stream = b"".join(wire.encode_frame(f) for f in frames)
+    parser = wire.FrameParser()
+    got = parser.feed(stream)
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+
+# -- emitter <-> TcpSource over a real socket --------------------------------
+
+def test_tcp_source_receives_frames(rng):
+    base = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    emitter = CameraEmitter(
+        lambda n: np.roll(base, n, axis=1), fps=200.0
+    ).start()
+    bus = FrameBus()
+    src = TcpSource(bus, "left", "127.0.0.1", emitter.port)
+    src.start()
+    try:
+        assert _wait(lambda: bus.seq("left") >= 3)
+        got = bus.latest("left").data
+        assert got.shape == (16, 32)
+    finally:
+        src.close()
+        emitter.close()
+
+
+def test_tcp_source_reconnects(rng):
+    """Source retries with backoff when the endpoint is initially down
+    (serial.go:181-229 behavior)."""
+    bus = FrameBus()
+    src = TcpSource(bus, "left", "127.0.0.1", 1)  # nothing listens on :1
+    src.start()
+    assert _wait(lambda: src.reconnects >= 2, timeout=5.0)
+    src.close()
+
+
+# -- lzma codec ---------------------------------------------------------------
+
+def test_lzma_roundtrip_levels(rng):
+    data = rng.integers(0, 50, 10_000, dtype=np.uint8).tobytes()
+    for level in (1, 5, 9):
+        enc = lzma_codec.compress(data, level)
+        assert lzma_codec.decompress(enc) == data
+        assert len(enc) < len(data)
+
+
+def test_lzma_known_size_header(rng):
+    data = b"steroscopic" * 500
+    enc = lzma_codec.compress_known_size(data, 5)
+    # header size field holds the payload length
+    assert int.from_bytes(enc[5:13], "little") == len(data)
+    assert lzma_codec.decompress(enc) == data
+
+
+def test_lzma_streaming(rng):
+    data = rng.integers(0, 10, 50_000, dtype=np.uint8).tobytes()
+    w = lzma_codec.Writer(level=3)
+    for i in range(0, len(data), 4096):
+        w.write(data[i : i + 4096])
+    enc = w.close()
+    r = lzma_codec.Reader()
+    out = b"".join(r.read(enc[i : i + 1024])
+                   for i in range(0, len(enc), 1024))
+    assert out == data
+
+
+def test_lzma_empty():
+    assert lzma_codec.decompress(lzma_codec.compress(b"")) == b""
+
+
+def test_lzma_bad_level():
+    with pytest.raises(ValueError):
+        lzma_codec.compress(b"x", 0)
+    with pytest.raises(ValueError):
+        lzma_codec.compress(b"x", 10)

@@ -1,0 +1,152 @@
+"""HTTP API tests against a live server (route parity with
+cmd/routes.go:25-112 and handler validation with cmd/handlers)."""
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from steroscopic_hardware_tpu.io.png import read_png, write_png
+from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
+from steroscopic_hardware_tpu.runtime.emitter import CameraEmitter
+from steroscopic_hardware_tpu.runtime.manager import CameraManager
+from steroscopic_hardware_tpu.runtime.pipeline import DepthPipeline
+from steroscopic_hardware_tpu.runtime.server import AppContext, Server
+from steroscopic_hardware_tpu.runtime.sources import SyntheticSource
+
+
+def _get(url, timeout=5.0):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def _post(url, data: bytes, ctype, timeout=5.0):
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+@pytest.fixture()
+def server(rng):
+    mgr = CameraManager()
+    mgr.set_source("left", SyntheticSource(
+        mgr.bus, "left", shape=(24, 48), fps=50.0, seed=3))
+    mgr.set_source("right", SyntheticSource(
+        mgr.bus, "right", shape=(24, 48), fps=50.0, shift=3, seed=3))
+    pipe = DepthPipeline(mgr.bus, BlockMatcher(backend="xla"))
+    srv = Server(AppContext(manager=mgr, pipeline=pipe)).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    # wait for first depth frame
+    t0 = time.time()
+    while mgr.bus.latest("out") is None and time.time() - t0 < 20:
+        time.sleep(0.05)
+    yield base
+    srv.shutdown()
+
+
+def test_health_and_root(server):
+    status, body, _ = _get(server + "/checkhealth")
+    assert status == 200 and body == b"OK"
+    status, body, _ = _get(server + "/live")
+    assert status == 200 and b"stereo depth" in body
+
+
+def test_stream_endpoints_serve_png(server):
+    for name in ("left", "right", "out"):
+        status, body, headers = _get(f"{server}/stream/{name}")
+        assert status == 200
+        assert headers["Content-Type"] == "image/png"
+        img = read_png(body)
+        assert img.shape == (24, 48)
+
+
+def test_stream_unknown_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/stream/nope")
+    assert e.value.code == 404
+
+
+def test_update_params_valid_and_invalid(server):
+    status, body = _post(
+        server + "/update-params",
+        b"blockSize=9&maxDisparity=128",
+        "application/x-www-form-urlencoded",
+    )
+    assert status == 200
+    assert json.loads(body) == {"blockSize": 9, "maxDisparity": 128}
+    status, _ = _get(server + "/params")[:2]
+    # invalid: even block (params.go:37), off-grid disparity (params.go:51)
+    for bad in (b"blockSize=8&maxDisparity=64",
+                b"blockSize=7&maxDisparity=100"):
+        status, body = _post(server + "/update-params", bad,
+                             "application/x-www-form-urlencoded")
+        assert status == 400
+        assert b"error" in body
+
+
+def test_metrics(server):
+    status, body, _ = _get(server + "/metrics")
+    m = json.loads(body)
+    assert "pipeline" in m and "sources" in m
+    assert m["sources"]["left"]["type"] == "SyntheticSource"
+
+
+def test_upload_swaps_camera(server, rng):
+    img = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+    png = write_png(None, img)
+    boundary = "XBOUND"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="type"\r\n\r\nleft\r\n'
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="image"; filename="x.png"\r\n'
+        "Content-Type: image/png\r\n\r\n"
+    ).encode() + png + f"\r\n--{boundary}--\r\n".encode()
+    status, resp = _post(server + "/upload", body,
+                         f"multipart/form-data; boundary={boundary}")
+    assert status == 200, resp
+    assert json.loads(resp) == {"uploaded": "left", "shape": [16, 20]}
+    # the left stream now serves the uploaded image
+    t0 = time.time()
+    while time.time() - t0 < 5:
+        _, data, _ = _get(server + "/stream/left")
+        if read_png(data).shape == (16, 20):
+            break
+        time.sleep(0.05)
+    assert read_png(data).shape == (16, 20)
+
+
+def test_configure_tcp_camera(server, rng):
+    base_img = rng.integers(0, 256, (12, 16), dtype=np.uint8)
+    emitter = CameraEmitter(lambda n: base_img, fps=100.0).start()
+    try:
+        status, resp = _post(
+            server + "/right/configure",
+            f"host=127.0.0.1&port={emitter.port}".encode(),
+            "application/x-www-form-urlencoded",
+        )
+        assert status == 200, resp
+        t0 = time.time()
+        shape = None
+        while time.time() - t0 < 5:
+            _, data, _ = _get(server + "/stream/right")
+            shape = read_png(data).shape
+            if shape == (12, 16):
+                break
+            time.sleep(0.05)
+        assert shape == (12, 16)
+    finally:
+        emitter.close()
+
+
+def test_exit_dumps_log(server):
+    status, body, _ = _get(server + "/exit")
+    assert status == 200
+    assert b"shtpu" in body or len(body) >= 0  # buffer may include records
