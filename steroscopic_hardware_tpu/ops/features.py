@@ -1,0 +1,187 @@
+"""FAST corner detection + oriented BRIEF (ORB-style) descriptors in JAX.
+
+CV front-end for the stereo SLAM extension (north star scope). Everything
+is static-shape and jittable: detection returns a fixed-K top-K keypoint
+set with a validity mask (invalid slots score 0), the TPU-friendly
+equivalent of a variable-length corner list.
+
+Design notes (TPU-first):
+  * FAST-N circle test: the 16 Bresenham-circle neighbors are materialized
+    as 16 statically shifted copies of the image (pure vector ops on the
+    VPU; no gather), and the contiguous-arc test is an unrolled AND/OR
+    reduction over the 16 cyclic windows.
+  * Orientation: intensity-centroid moments over the 31x31 patch
+    (box-accumulated with shifted adds).
+  * Descriptors: 256 deterministic pseudo-random point pairs (seeded
+    Gaussian, generated at import — our own pattern, not OpenCV's learned
+    one), steered by the keypoint angle; bits sampled with a single
+    flat gather per endpoint set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 16 Bresenham circle offsets (radius 3), clockwise from 12 o'clock —
+# the standard FAST-16 ring.
+_CIRCLE = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2),
+        (-3, -1),
+    ],
+    dtype=np.int32,
+)  # (dy, dx)
+
+# BRIEF-256 sampling pattern: pairs ~ N(0, (patch/5)^2) clipped to the
+# 31x31 patch, deterministic seed.
+_PATCH = 31
+_rng = np.random.default_rng(20240516)
+_PAIRS = np.clip(
+    _rng.normal(0.0, _PATCH / 5.0, size=(256, 2, 2)), -15, 15
+).astype(np.float32)  # (bit, endpoint, (dy, dx))
+
+
+def _shift2d(img, dy, dx):
+    """Static shift with edge clamping (replicate border)."""
+    H, W = img.shape[-2], img.shape[-1]
+    ys = np.clip(np.arange(H) + dy, 0, H - 1)
+    xs = np.clip(np.arange(W) + dx, 0, W - 1)
+    return img[..., ys, :][..., :, xs]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "arc_len", "max_keypoints")
+)
+def fast_detect(
+    img: jnp.ndarray,
+    *,
+    threshold: int = 20,
+    arc_len: int = 9,
+    max_keypoints: int = 512,
+):
+    """FAST-9/16 corners with 3x3 non-max suppression and top-K selection.
+
+    Returns (xy (K, 2) int32 [x, y], score (K,) float32, valid (K,) bool).
+    """
+    I = img.astype(jnp.int32)
+    ring = jnp.stack(
+        [_shift2d(I, int(dy), int(dx)) for dy, dx in _CIRCLE]
+    )  # (16, H, W)
+    diff = ring - I[None]
+    bright = diff > threshold
+    dark = diff < -threshold
+
+    def has_arc(mask):
+        # OR over the 16 cyclic AND-windows of length arc_len
+        acc = jnp.zeros_like(mask[0])
+        for s in range(16):
+            win = mask[s]
+            for k in range(1, arc_len):
+                win = win & mask[(s + k) % 16]
+            acc = acc | win
+        return acc
+
+    is_corner = has_arc(bright) | has_arc(dark)
+    # Score: sum of |diff| beyond threshold over the ring (OpenCV-style
+    # proxy), zeroed for non-corners.
+    excess = jnp.maximum(jnp.abs(diff) - threshold, 0)
+    score = jnp.where(is_corner, excess.sum(0), 0).astype(jnp.float32)
+
+    # border suppression (ring + descriptor patch must fit)
+    H, W = img.shape
+    m = _PATCH // 2 + 1
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inb = (ys >= m) & (ys < H - m) & (xs >= m) & (xs < W - m)
+    score = jnp.where(inb, score, 0.0)
+
+    # 3x3 non-max suppression
+    neigh = jnp.stack(
+        [
+            _shift2d(score, dy, dx)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)
+        ]
+    )
+    keep = score >= neigh.max(0)
+    score = jnp.where(keep, score, 0.0)
+
+    flat = score.reshape(-1)
+    top, idx = jax.lax.top_k(flat, max_keypoints)
+    xy = jnp.stack([idx % W, idx // W], -1).astype(jnp.int32)
+    return xy, top, top > 0
+
+
+def _moment_orientation(img, xy, radius: int = 15):
+    """Intensity-centroid angle for each keypoint."""
+    I = img.astype(jnp.float32)
+    H, W = img.shape
+    dy = jnp.arange(-radius, radius + 1)
+    dx = jnp.arange(-radius, radius + 1)
+    DY, DX = jnp.meshgrid(dy, dx, indexing="ij")
+    circ = (DY**2 + DX**2) <= radius**2
+
+    def one(kp):
+        y0, x0 = kp[1], kp[0]
+        ys = jnp.clip(y0 + DY, 0, H - 1)
+        xs = jnp.clip(x0 + DX, 0, W - 1)
+        patch = I[ys, xs] * circ
+        m01 = (patch * DY).sum()
+        m10 = (patch * DX).sum()
+        return jnp.arctan2(m01, m10)
+
+    return jax.vmap(one)(xy)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def orb_describe(img: jnp.ndarray, xy: jnp.ndarray):
+    """Steered BRIEF-256 descriptors.
+
+    Args: grayscale image (H, W) uint8; keypoints (K, 2) int32 [x, y].
+    Returns (desc (K, 256) uint8 in {0,1}, angle (K,) float32).
+    """
+    # 5x5 box smoothing for sampling stability (integer mean)
+    I = img.astype(jnp.float32)
+    s = I
+    for d in (-2, -1, 1, 2):
+        s = s + _shift2d(I, d, 0)
+    s2 = s
+    for d in (-2, -1, 1, 2):
+        s2 = s2 + _shift2d(s, 0, d)
+    smooth = s2 / 25.0
+
+    H, W = img.shape
+    angle = _moment_orientation(img, xy)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    pairs = jnp.asarray(_PAIRS)  # (256, 2, 2) (dy, dx)
+    dy, dx = pairs[..., 0], pairs[..., 1]  # (256, 2)
+    # rotate offsets by keypoint angle
+    ry = sa[:, None, None] * dx + ca[:, None, None] * dy  # (K, 256, 2)
+    rx = ca[:, None, None] * dx - sa[:, None, None] * dy
+    ys = jnp.clip(
+        jnp.round(xy[:, 1, None, None] + ry).astype(jnp.int32), 0, H - 1
+    )
+    xs = jnp.clip(
+        jnp.round(xy[:, 0, None, None] + rx).astype(jnp.int32), 0, W - 1
+    )
+    samples = smooth.reshape(-1)[(ys * W + xs).reshape(-1)].reshape(ys.shape)
+    desc = (samples[..., 0] < samples[..., 1]).astype(jnp.uint8)
+    return desc, angle
+
+
+def detect_and_describe(img, *, threshold=20, max_keypoints=512):
+    """Full front-end: FAST + oriented BRIEF."""
+    xy, score, valid = fast_detect(
+        img, threshold=threshold, max_keypoints=max_keypoints
+    )
+    desc, angle = orb_describe(img, xy)
+    return {
+        "xy": xy, "score": score, "valid": valid,
+        "desc": desc, "angle": angle,
+    }

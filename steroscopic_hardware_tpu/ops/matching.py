@@ -1,0 +1,77 @@
+"""Descriptor matching on the MXU.
+
+Hamming distance between binary descriptor sets via matrix multiply: with
+descriptors encoded as +/-1, ``dot(a, b) = n_bits - 2 * hamming``, so one
+(Ka, 256) x (256, Kb) matmul on the MXU yields every pairwise distance —
+the TPU-native replacement for per-pair popcount loops (values are exact:
+products are +/-1 and partial sums are integers well inside f32 range).
+
+Provides mutual-nearest-neighbor matching with Lowe ratio test, fully
+static shapes (invalid slots masked).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e9)
+
+
+def hamming_matrix(desc_a, desc_b, valid_a=None, valid_b=None):
+    """Pairwise Hamming distances (Ka, Kb) float32.
+
+    desc_*: (K, n_bits) uint8 in {0, 1}.
+    """
+    n_bits = desc_a.shape[-1]
+    a = desc_a.astype(jnp.float32) * 2 - 1
+    b = desc_b.astype(jnp.float32) * 2 - 1
+    dot = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ham = (n_bits - dot) / 2
+    if valid_a is not None:
+        ham = jnp.where(valid_a[:, None], ham, _INF)
+    if valid_b is not None:
+        ham = jnp.where(valid_b[None, :], ham, _INF)
+    return ham
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "max_distance"))
+def match(
+    desc_a,
+    desc_b,
+    valid_a=None,
+    valid_b=None,
+    *,
+    ratio: float = 0.8,
+    max_distance: float = 64.0,
+):
+    """Mutual-NN matching with ratio test.
+
+    Returns (idx_b (Ka,) int32 — best match in b for each a,
+             good (Ka,) bool — mutual, ratio-passing, under max_distance).
+    """
+    ham = hamming_matrix(desc_a, desc_b, valid_a, valid_b)
+
+    best_b = jnp.argmin(ham, axis=1)
+    d1 = jnp.min(ham, axis=1)
+    # second-best for the ratio test
+    ham2 = ham.at[jnp.arange(ham.shape[0]), best_b].set(_INF)
+    d2 = jnp.min(ham2, axis=1)
+
+    best_a_of_b = jnp.argmin(ham, axis=0)  # (Kb,)
+    mutual = best_a_of_b[best_b] == jnp.arange(ham.shape[0])
+
+    good = (
+        mutual
+        & (d1 <= max_distance)
+        & (d1 <= ratio * jnp.maximum(d2, 1e-6))
+    )
+    if valid_a is not None:
+        good = good & valid_a
+    return best_b, good
