@@ -1,0 +1,174 @@
+"""Sliding-window bundle adjustment: Gauss-Newton with Schur complement.
+
+Dense windowed BA over M keyframe poses and N landmarks with a (M, N)
+visibility mask — the TPU-friendly layout (static shapes; masked
+observations instead of sparse indexing). The normal equations are reduced
+by the classic Schur complement over the block-diagonal landmark system:
+
+    H = [ Hpp  Hpl ]    S  = Hpp - Hpl Hll^-1 Hpl^T   (reduced camera system)
+        [ Hpl' Hll ]    dl = Hll^-1 (bl - Hpl^T dp)   (landmark back-subst.)
+
+Hpp is (M, 6, 6) block-diagonal, Hll is (N, 3, 3) block-diagonal, and every
+contraction is an einsum that XLA maps onto the MXU. Gauge freedom is fixed
+by freezing the first pose. Levenberg damping + Huber reweighting.
+
+This single-host window solver is the building block for the distributed
+BA in ``parallel/ba_dist.py`` (landmarks sharded over the mesh, S and b
+reduced with ``psum`` — the collective pattern of multi-host Schur
+reduction).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from steroscopic_hardware_tpu.ops import se3
+
+
+class BAProblem(NamedTuple):
+    xi: jnp.ndarray        # (M, 6) pose twists (world -> camera)
+    points: jnp.ndarray    # (N, 3) landmark positions
+    uv: jnp.ndarray        # (M, N, 2) observed pixels
+    mask: jnp.ndarray      # (M, N) visibility (float 0/1)
+    intr: tuple            # (fx, fy, cx, cy)
+
+
+def reproject(xi, points, intr):
+    """(M, N, 2) projected pixels for all pose/landmark combinations."""
+    fx, fy, cx, cy = intr
+    R, t = se3.se3_exp(xi)              # (M, 3, 3), (M, 3)
+    cam = jnp.einsum("mij,nj->mni", R, points) + t[:, None, :]
+    return se3.project(cam, fx, fy, cx, cy)
+
+
+def residuals(prob: BAProblem):
+    return (reproject(prob.xi, prob.points, prob.intr) - prob.uv)
+
+
+def _per_obs_jacobians(xi, points, intr):
+    """Jp (M, N, 2, 6) wrt left-multiplied pose twist;
+    Jl (M, N, 2, 3) wrt landmark position."""
+    fx, fy, cx, cy = intr
+
+    def one(xi_i, X_j):
+        def f(delta, dX):
+            Rd, td = se3.se3_exp(delta)
+            R, t = se3.se3_exp(xi_i)
+            Rc, tc = se3.compose(Rd, td, R, t)
+            cam = Rc @ (X_j + dX) + tc
+            z = jnp.maximum(cam[2], 1e-6)
+            return jnp.array(
+                [fx * cam[0] / z + cx, fy * cam[1] / z + cy]
+            )
+
+        Jp = jax.jacfwd(f, argnums=0)(
+            jnp.zeros(6, jnp.float32), jnp.zeros(3, jnp.float32)
+        )
+        Jl = jax.jacfwd(f, argnums=1)(
+            jnp.zeros(6, jnp.float32), jnp.zeros(3, jnp.float32)
+        )
+        return Jp, Jl
+
+    return jax.vmap(
+        lambda xi_i: jax.vmap(lambda X_j: one(xi_i, X_j))(points)
+    )(xi)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "fix_first_pose")
+)
+def ba_solve(
+    prob: BAProblem,
+    *,
+    iters: int = 10,
+    damping: float = 1e-3,
+    huber_px: float = 3.0,
+    fix_first_pose: bool = True,
+    axis_name: str | None = None,
+):
+    """Run Gauss-Newton BA. Returns (BAProblem with updated xi/points,
+    per-iteration masked mean reprojection error (iters,)).
+
+    When ``axis_name`` is given the landmark axis N is assumed sharded over
+    that mesh axis: the reduced camera system S, b and the cost are summed
+    with ``psum`` so every shard solves the identical (replicated) pose
+    update while landmark updates stay local — the distributed Schur
+    pattern.
+    """
+    M = prob.xi.shape[0]
+
+    def gn_step(state, _):
+        xi, points = state
+        p = BAProblem(xi, points, prob.uv, prob.mask, prob.intr)
+        r = residuals(p)                                   # (M, N, 2)
+        err = jnp.sqrt((r**2).sum(-1) + 1e-12)             # (M, N)
+        w_huber = jnp.where(
+            err < huber_px, 1.0, huber_px / jnp.maximum(err, 1e-6)
+        )
+        w = prob.mask * w_huber                            # (M, N)
+
+        Jp, Jl = _per_obs_jacobians(xi, points, prob.intr)
+
+        Hpp = jnp.einsum("mnri,mn,mnrj->mij", Jp, w, Jp)   # (M, 6, 6)
+        Hll = jnp.einsum("mnri,mn,mnrj->nij", Jl, w, Jl)   # (N, 3, 3)
+        Hpl = jnp.einsum("mnri,mn,mnrj->mnij", Jp, w, Jl)  # (M, N, 6, 3)
+        bp = -jnp.einsum("mnri,mn,mnr->mi", Jp, w, r)      # (M, 6)
+        bl = -jnp.einsum("mnri,mn,mnr->ni", Jl, w, r)      # (N, 3)
+
+        Hll_d = Hll + damping * jnp.eye(3)
+        Hll_inv = jnp.linalg.inv(Hll_d)                    # (N, 3, 3)
+
+        # Reduced camera system (sum over landmarks -> psum when sharded).
+        HplW = jnp.einsum("mnij,njk->mnik", Hpl, Hll_inv)  # (M, N, 6, 3)
+        S_red = jnp.einsum("mnik,lnjk->mlij", HplW, Hpl)   # (M, M, 6, 6)
+        b_red = bp - jnp.einsum("mnik,nk->mi", HplW, bl)   # (M, 6)
+        if axis_name is not None:
+            S_red = jax.lax.psum(S_red, axis_name)
+            b_red = jax.lax.psum(b_red, axis_name)
+            Hpp = jax.lax.psum(Hpp, axis_name)
+
+        S = -S_red
+        S = S.at[jnp.arange(M), jnp.arange(M)].add(Hpp)
+        S = S + damping * jnp.eye(6)[None, None] * jnp.eye(M)[..., None, None]
+
+        Sm = S.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
+        bm = b_red.reshape(6 * M)
+        if fix_first_pose:
+            # freeze gauge: zero out first pose's rows/cols, identity block
+            mask1 = jnp.concatenate(
+                [jnp.zeros(6), jnp.ones(6 * (M - 1))]
+            )
+            Sm = Sm * mask1[:, None] * mask1[None, :] + jnp.diag(1 - mask1)
+            bm = bm * mask1
+        dp = jnp.linalg.solve(Sm, bm).reshape(M, 6)
+
+        dl = jnp.einsum(
+            "nij,nj->ni",
+            Hll_inv,
+            bl - jnp.einsum("mnij,mi->nj", Hpl, dp),
+        )
+
+        xi_new = jax.vmap(
+            lambda d, x: se3.se3_log(
+                *se3.compose(*se3.se3_exp(d), *se3.se3_exp(x))
+            )
+        )(dp, xi)
+        points_new = points + dl
+
+        wsum = prob.mask.sum()
+        if axis_name is not None:
+            num = jax.lax.psum((prob.mask * err).sum(), axis_name)
+            den = jax.lax.psum(wsum, axis_name)
+        else:
+            num, den = (prob.mask * err).sum(), wsum
+        mean_err = num / jnp.maximum(den, 1e-6)
+        return (xi_new, points_new), mean_err
+
+    (xi, points), errs = jax.lax.scan(
+        gn_step, (prob.xi, prob.points), None, length=iters
+    )
+    return BAProblem(xi, points, prob.uv, prob.mask, prob.intr), errs

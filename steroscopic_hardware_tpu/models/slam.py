@@ -1,0 +1,229 @@
+"""Stereo SLAM: sequential visual odometry, keyframe windowed BA, pose
+graph optimization, and trajectory metrics.
+
+The full-pipeline extension named in the BASELINE north star. Host-side
+sequencing (frame loop, keyframe policy) stays in Python; every per-frame
+computation (disparity, features, matching, PnP/RANSAC, BA) is a jitted
+static-shape JAX computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from steroscopic_hardware_tpu.models.ba import BAProblem, ba_solve
+from steroscopic_hardware_tpu.models.vo import pnp_ransac, triangulate_stereo
+from steroscopic_hardware_tpu.ops import se3
+from steroscopic_hardware_tpu.ops.features import detect_and_describe
+from steroscopic_hardware_tpu.ops.matching import match
+from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_xla
+
+
+@dataclasses.dataclass
+class StereoCamera:
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    baseline: float
+
+    @property
+    def intr(self):
+        return (self.fx, self.fy, self.cx, self.cy)
+
+
+@dataclasses.dataclass
+class FrameState:
+    xy: np.ndarray       # (K, 2)
+    desc: np.ndarray     # (K, 256)
+    valid: np.ndarray    # (K,)
+    pts_cam: np.ndarray  # (K, 3) camera-frame 3D from stereo
+    pts_ok: np.ndarray   # (K,) triangulation validity
+    xi_world: np.ndarray  # (6,) world->camera twist of this frame
+
+
+class StereoVO:
+    """Frame-to-frame stereo visual odometry.
+
+    Per frame: dense SAD disparity -> FAST+ORB on the left image ->
+    keypoint triangulation -> descriptor matching against the previous
+    frame -> RANSAC PnP of previous-frame 3D points in the current image
+    -> pose accumulation.
+    """
+
+    def __init__(self, camera: StereoCamera, *, block_size=7,
+                 max_disparity=64, max_keypoints=256, fast_threshold=20,
+                 seed=0):
+        self.cam = camera
+        self.block_size = block_size
+        self.max_disparity = max_disparity
+        self.max_keypoints = max_keypoints
+        self.fast_threshold = fast_threshold
+        self.prev: FrameState | None = None
+        self.trajectory: list[np.ndarray] = []  # world->camera twists
+        self.n_inliers: list[int] = []
+        self._key = jax.random.PRNGKey(seed)
+
+    def _frame_state(self, left, right, xi_world) -> FrameState:
+        disp = disparity_raw_xla(
+            jnp.asarray(left), jnp.asarray(right),
+            block_size=self.block_size, max_disparity=self.max_disparity,
+        )
+        feats = detect_and_describe(
+            jnp.asarray(left), threshold=self.fast_threshold,
+            max_keypoints=self.max_keypoints,
+        )
+        xy = feats["xy"]
+        d_at = disp[xy[:, 1], xy[:, 0]].astype(jnp.float32)
+        pts, ok = triangulate_stereo(
+            xy, d_at, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            self.cam.baseline,
+        )
+        return FrameState(
+            xy=np.asarray(xy), desc=np.asarray(feats["desc"]),
+            valid=np.asarray(feats["valid"]),
+            pts_cam=np.asarray(pts),
+            pts_ok=np.asarray(ok) & np.asarray(feats["valid"]),
+            xi_world=np.asarray(xi_world),
+        )
+
+    def process(self, left, right):
+        """Ingest one stereo pair; returns the world->camera twist (6,)."""
+        if self.prev is None:
+            state = self._frame_state(left, right,
+                                      np.zeros(6, np.float32))
+            self.prev = state
+            self.trajectory.append(state.xi_world)
+            self.n_inliers.append(0)
+            return state.xi_world
+
+        cur = self._frame_state(left, right, np.zeros(6, np.float32))
+        idx, good = match(
+            jnp.asarray(self.prev.desc), jnp.asarray(cur.desc),
+            jnp.asarray(self.prev.valid), jnp.asarray(cur.valid),
+            ratio=0.9, max_distance=80.0,
+        )
+        idx, good = np.asarray(idx), np.asarray(good)
+        good = good & self.prev.pts_ok
+
+        # 3D points in the previous camera frame, observed in the current
+        # image -> T_cur_prev.
+        pts3d = self.prev.pts_cam
+        uv = cur.xy[idx].astype(np.float32)
+        self._key, sub = jax.random.split(self._key)
+        xi_rel, inliers, n_inl = pnp_ransac(
+            jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(good),
+            self.cam.intr, sub, n_hypotheses=32,
+        )
+        xi_rel = np.asarray(xi_rel)
+        self.n_inliers.append(int(n_inl))
+
+        # accumulate: T_cur_world = T_cur_prev * T_prev_world
+        Rr, tr = se3.se3_exp(jnp.asarray(xi_rel))
+        Rp, tp = se3.se3_exp(jnp.asarray(self.prev.xi_world))
+        xi_world = np.asarray(se3.se3_log(*se3.compose(Rr, tr, Rp, tp)))
+
+        cur.xi_world = xi_world
+        self.prev = cur
+        self.trajectory.append(xi_world)
+        return xi_world
+
+    def positions(self) -> np.ndarray:
+        """Camera centers in world coordinates (T^-1 translation)."""
+        out = []
+        for xi in self.trajectory:
+            R, t = se3.se3_exp(jnp.asarray(xi))
+            Ri, ti = se3.inverse(R, t)
+            out.append(np.asarray(ti))
+        return np.stack(out)
+
+
+# -- pose graph ---------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iters", "fix_first"))
+def pose_graph_optimize(
+    xi_nodes, edges_ij, xi_meas, weights, *, iters: int = 15,
+    damping: float = 1e-4, fix_first: bool = True,
+):
+    """Gauss-Newton pose graph optimization.
+
+    Args:
+      xi_nodes: (M, 6) world->camera twists.
+      edges_ij: (E, 2) int32 node index pairs (i, j).
+      xi_meas:  (E, 6) measured relative twists T_j_i (i -> j).
+      weights:  (E,) edge weights.
+    Returns optimized (M, 6) twists.
+
+    Residual per edge: log( exp(xi_meas)^-1 * T_j * T_i^-1 ).
+    """
+    M = xi_nodes.shape[0]
+
+    def edge_residual(xi_all, e):
+        i, j = edges_ij[e, 0], edges_ij[e, 1]
+        Ri, ti = se3.se3_exp(xi_all[i])
+        Rj, tj = se3.se3_exp(xi_all[j])
+        Rm, tm = se3.se3_exp(xi_meas[e])
+        # T_j * T_i^-1 (relative motion i -> j)
+        Rii, tii = se3.inverse(Ri, ti)
+        Rrel, trel = se3.compose(Rj, tj, Rii, tii)
+        Rmi, tmi = se3.inverse(Rm, tm)
+        Rerr, terr = se3.compose(Rmi, tmi, Rrel, trel)
+        return se3.se3_log(Rerr, terr)
+
+    E = edges_ij.shape[0]
+
+    def gn_step(xi_all, _):
+        def res_of_deltas(deltas):
+            xi_pert = jax.vmap(
+                lambda d, x: se3.se3_log(
+                    *se3.compose(*se3.se3_exp(d), *se3.se3_exp(x))
+                )
+            )(deltas, xi_all)
+            return jax.vmap(
+                lambda e: edge_residual(xi_pert, e)
+            )(jnp.arange(E))
+
+        r = res_of_deltas(jnp.zeros((M, 6)))              # (E, 6)
+        J = jax.jacfwd(res_of_deltas)(jnp.zeros((M, 6)))  # (E, 6, M, 6)
+        w = weights[:, None]
+        Jm = J.reshape(E * 6, M * 6)
+        rm = (r * w).reshape(E * 6)
+        wm = jnp.repeat(weights, 6)
+        H = Jm.T @ (Jm * wm[:, None]) + damping * jnp.eye(M * 6)
+        g = Jm.T @ rm
+        if fix_first:
+            m1 = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (M - 1))])
+            H = H * m1[:, None] * m1[None, :] + jnp.diag(1 - m1)
+            g = g * m1
+        delta = jnp.linalg.solve(H, -g).reshape(M, 6)
+        xi_new = jax.vmap(
+            lambda d, x: se3.se3_log(
+                *se3.compose(*se3.se3_exp(d), *se3.se3_exp(x))
+            )
+        )(delta, xi_all)
+        return xi_new, (r**2).sum()
+
+    xi_out, costs = jax.lax.scan(gn_step, xi_nodes, None, length=iters)
+    return xi_out, costs
+
+
+# -- metrics ------------------------------------------------------------------
+
+def ate_rmse(positions_est: np.ndarray, positions_gt: np.ndarray) -> float:
+    """Absolute trajectory error after rigid (Umeyama, no scale)
+    alignment — the standard SLAM accuracy metric."""
+    est = np.asarray(positions_est, np.float64)
+    gt = np.asarray(positions_gt, np.float64)
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    E, G = est - mu_e, gt - mu_g
+    U, _, Vt = np.linalg.svd(E.T @ G)
+    S = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+    R = (U @ S @ Vt).T
+    t = mu_g - R @ mu_e
+    aligned = est @ R.T + t
+    return float(np.sqrt(((aligned - gt) ** 2).sum(-1).mean()))
