@@ -79,7 +79,7 @@ def _per_obs_jacobians(xi, points, intr):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "fix_first_pose")
+    jax.jit, static_argnames=("iters", "fix_first_pose", "axis_name")
 )
 def ba_solve(
     prob: BAProblem,
