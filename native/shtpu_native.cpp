@@ -165,7 +165,8 @@ int64_t shtpu_parser_feed(shtpu_frame_parser* p, const uint8_t* data,
           memcpy(&p->height, p->header + 4, 4);
           p->codec = p->header[8];
           memcpy(&p->payload_len, p->header + 9, 4);
-          if (p->width == 0 || p->height == 0 ||
+          if (p->width == 0 || p->width > 16384 || p->height == 0 ||
+              p->height > 16384 || p->codec > 2 ||
               p->payload_len > (uint32_t)1 << 28) {
             p->state = 0;  // garbage header; resync
             p->bytes_dropped += 15;

@@ -143,6 +143,145 @@ class StereoVO:
         return np.stack(out)
 
 
+class StereoSLAM:
+    """Keyframed stereo SLAM: VO front-end + sliding-window BA back-end +
+    checkpoint/resume.
+
+    Every ``kf_every`` frames the current frame becomes a keyframe; when
+    the window holds >= 2 keyframes, landmarks anchored at the oldest
+    keyframe are matched into every window keyframe and the window is
+    refined with the Schur-complement BA (``models/ba.py``), updating the
+    keyframe poses (and through them the running trajectory anchor).
+    """
+
+    def __init__(self, camera: StereoCamera, *, window: int = 4,
+                 kf_every: int = 2, ba_iters: int = 6, **vo_kwargs):
+        self.vo = StereoVO(camera, **vo_kwargs)
+        self.cam = camera
+        self.window = window
+        self.kf_every = kf_every
+        self.ba_iters = ba_iters
+        self.keyframes: list[FrameState] = []
+        self.frame_idx = 0
+        self.ba_runs = 0
+        self.last_ba_errs: np.ndarray | None = None
+
+    def process(self, left, right) -> np.ndarray:
+        xi = self.vo.process(left, right)
+        if self.frame_idx % self.kf_every == 0:
+            self.keyframes.append(self.vo.prev)
+            if len(self.keyframes) > self.window:
+                self.keyframes.pop(0)
+            if len(self.keyframes) >= 2:
+                self._refine_window()
+        self.frame_idx += 1
+        return self.vo.trajectory[-1]
+
+    def _refine_window(self):
+        kfs = self.keyframes
+        M = len(kfs)
+        anchor = kfs[0]
+        N = anchor.xy.shape[0]
+
+        # landmarks: anchor keypoints triangulated, moved to world frame
+        Ra, ta = se3.se3_exp(jnp.asarray(anchor.xi_world))
+        Rai, tai = se3.inverse(Ra, ta)
+        pts_w = np.asarray(
+            anchor.pts_cam @ np.asarray(Rai).T + np.asarray(tai)
+        )
+
+        uv = np.zeros((M, N, 2), np.float32)
+        mask = np.zeros((M, N), np.float32)
+        uv[0] = anchor.xy.astype(np.float32)
+        mask[0] = anchor.pts_ok.astype(np.float32)
+        for i, kf in enumerate(kfs[1:], start=1):
+            idx, good = match(
+                jnp.asarray(anchor.desc), jnp.asarray(kf.desc),
+                jnp.asarray(anchor.valid), jnp.asarray(kf.valid),
+                ratio=0.9, max_distance=80.0,
+            )
+            idx, good = np.asarray(idx), np.asarray(good)
+            good = good & anchor.pts_ok
+            uv[i] = kf.xy[idx].astype(np.float32)
+            mask[i] = good.astype(np.float32)
+
+        xi0 = np.stack([kf.xi_world for kf in kfs]).astype(np.float32)
+
+        # Outlier gating: the VO poses are already decent, so observations
+        # whose initial reprojection error exceeds the gate are mismatches
+        # (the window solver has no RANSAC of its own).
+        from steroscopic_hardware_tpu.models.ba import reproject
+
+        r0 = np.asarray(
+            reproject(jnp.asarray(xi0), jnp.asarray(pts_w), self.cam.intr)
+        ) - uv
+        gate = np.sqrt((r0**2).sum(-1)) < 25.0
+        mask = mask * gate.astype(np.float32)
+
+        prob = BAProblem(
+            jnp.asarray(xi0), jnp.asarray(pts_w), jnp.asarray(uv),
+            jnp.asarray(mask), self.cam.intr,
+        )
+        solved, errs = ba_solve(prob, iters=self.ba_iters)
+        self.ba_runs += 1
+        self.last_ba_errs = np.asarray(errs)
+
+        xi_new = np.asarray(solved.xi)
+        for kf, xi in zip(kfs, xi_new):
+            kf.xi_world = xi
+        # re-anchor the live trajectory tail on the refined latest keyframe
+        self.vo.prev.xi_world = xi_new[-1]
+        self.vo.trajectory[-1] = xi_new[-1]
+
+    # -- persistence --------------------------------------------------------
+    def save_checkpoint(self, path: str):
+        from steroscopic_hardware_tpu.utils import checkpoint as ckpt
+
+        arrays = {
+            "trajectory": np.stack(self.vo.trajectory),
+            "n_inliers": np.asarray(self.vo.n_inliers, np.int32),
+        }
+        for i, kf in enumerate(self.keyframes):
+            for field in ("xy", "desc", "valid", "pts_cam", "pts_ok",
+                          "xi_world"):
+                arrays[f"kf{i}_{field}"] = getattr(kf, field)
+        meta = {
+            "frame_idx": self.frame_idx,
+            "n_keyframes": len(self.keyframes),
+            "ba_runs": self.ba_runs,
+            "camera": dataclasses.asdict(self.cam),
+            "window": self.window,
+            "kf_every": self.kf_every,
+        }
+        return ckpt.save(path, arrays, meta)
+
+    @classmethod
+    def load_checkpoint(cls, path: str, **kwargs):
+        from steroscopic_hardware_tpu.utils import checkpoint as ckpt
+
+        arrays, manifest = ckpt.load(path)
+        meta = manifest["meta"]
+        cam = StereoCamera(**meta["camera"])
+        slam = cls(cam, window=meta["window"], kf_every=meta["kf_every"],
+                   **kwargs)
+        slam.frame_idx = meta["frame_idx"]
+        slam.ba_runs = meta["ba_runs"]
+        slam.vo.trajectory = list(arrays["trajectory"])
+        slam.vo.n_inliers = list(arrays["n_inliers"])
+        for i in range(meta["n_keyframes"]):
+            kf = FrameState(
+                xy=arrays[f"kf{i}_xy"], desc=arrays[f"kf{i}_desc"],
+                valid=arrays[f"kf{i}_valid"],
+                pts_cam=arrays[f"kf{i}_pts_cam"],
+                pts_ok=arrays[f"kf{i}_pts_ok"],
+                xi_world=arrays[f"kf{i}_xi_world"],
+            )
+            slam.keyframes.append(kf)
+        if slam.keyframes:
+            slam.vo.prev = slam.keyframes[-1]
+        return slam
+
+
 # -- pose graph ---------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_first"))

@@ -104,10 +104,13 @@ class FrameParser:
     serial reader scans for the start marker.
     """
 
+    MAX_DIM = 16384
+
     def __init__(self):
         self._buf = bytearray()
         self.frames = 0
         self.bytes_dropped = 0
+        self.decode_errors = 0
 
     def feed(self, data: bytes):
         self._buf.extend(data)
@@ -126,7 +129,12 @@ class FrameParser:
             if len(self._buf) < 2 + _HDR.size:
                 break
             width, height, codec, plen = _HDR.unpack_from(self._buf, 2)
-            if width == 0 or height == 0 or plen > (1 << 28):
+            if (
+                not 0 < width <= self.MAX_DIM
+                or not 0 < height <= self.MAX_DIM
+                or codec > CODEC_LZMA
+                or plen > (1 << 28)
+            ):
                 # garbage header: drop the marker and resync
                 self.bytes_dropped += 2
                 del self._buf[:2]
@@ -139,6 +147,12 @@ class FrameParser:
             del self._buf[:total]
             if trailer != END_SEQ:
                 self.bytes_dropped += 2
-            out.append(_decode_payload(payload, codec, width, height))
-            self.frames += 1
+            try:
+                out.append(_decode_payload(payload, codec, width, height))
+                self.frames += 1
+            except Exception:
+                # corrupt payload (bad codec stream / size mismatch):
+                # count it and keep parsing — a stream must survive any
+                # byte corruption.
+                self.decode_errors += 1
         return out
