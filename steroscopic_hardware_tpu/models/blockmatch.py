@@ -123,6 +123,52 @@ class BlockMatcher:
         return n
 
 
+@dataclasses.dataclass
+class SGMMatcher:
+    """Semi-global matching engine (drop-in for BlockMatcher in the
+    pipeline): census costs + 4-path aggregation + subpixel — the quality
+    upgrade beyond the reference's plain SAD WTA."""
+
+    params: Parameters = dataclasses.field(default_factory=Parameters)
+    p1: float = 1.0
+    p2: float = 8.0
+    subpixel: bool = True
+
+    def __post_init__(self):
+        self.store = ParamStore(self.params)
+
+    def set_params(self, params: Parameters) -> None:
+        self.store.set(params)
+
+    def get_params(self) -> Parameters:
+        return self.store.get()
+
+    def compute(self, left, right) -> np.ndarray:
+        from steroscopic_hardware_tpu.ops.sgm import sgm_disparity
+
+        p = self.store.get()
+        disp = sgm_disparity(
+            jax.numpy.asarray(left), jax.numpy.asarray(right),
+            max_disparity=p.max_disparity, P1=self.p1, P2=self.p2,
+            subpixel=self.subpixel,
+        )
+        out = jax.numpy.clip(
+            disp * (255.0 / p.max_disparity) + 0.5, 0, 255
+        ).astype(jax.numpy.uint8)
+        return np.asarray(out)
+
+    def compute_raw(self, left, right) -> np.ndarray:
+        """Float (possibly subpixel) disparity in pixels."""
+        from steroscopic_hardware_tpu.ops.sgm import sgm_disparity
+
+        p = self.store.get()
+        return np.asarray(sgm_disparity(
+            jax.numpy.asarray(left), jax.numpy.asarray(right),
+            max_disparity=p.max_disparity, P1=self.p1, P2=self.p2,
+            subpixel=self.subpixel,
+        ))
+
+
 def sweep(
     left,
     right,

@@ -1,0 +1,98 @@
+"""Census transform and SGM disparity tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from steroscopic_hardware_tpu.ops.census import (
+    census5x5,
+    census_cost_volume,
+    popcount32,
+)
+from steroscopic_hardware_tpu.ops.sgm import sgm_disparity
+
+
+def test_popcount(rng):
+    x = rng.integers(0, 2**32, 1000, dtype=np.uint32)
+    got = np.asarray(popcount32(jnp.asarray(x)))
+    want = np.array([bin(int(v)).count("1") for v in x])
+    assert np.array_equal(got, want)
+
+
+def test_census_invariant_to_gain_offset(rng):
+    img = rng.integers(10, 200, (32, 40), dtype=np.uint8)
+    # census depends only on sign of neighbor differences -> monotone
+    # transforms preserve codes (here: +20 offset, no saturation)
+    brighter = (img + 20).astype(np.uint8)
+    a = np.asarray(census5x5(jnp.asarray(img)))
+    b = np.asarray(census5x5(jnp.asarray(brighter)))
+    assert np.array_equal(a, b)
+
+
+def test_cost_volume_zero_on_true_shift(rng):
+    left = rng.integers(0, 256, (24, 64), dtype=np.uint8)
+    shift = 5
+    right = np.roll(left, -shift, axis=1)
+    vol = np.asarray(
+        census_cost_volume(jnp.asarray(left), jnp.asarray(right),
+                           max_disparity=16)
+    )
+    # away from the wrap column and left border, cost at d=shift is 0
+    assert (vol[shift, 4:-4, 24:56] == 0).mean() > 0.95
+    # and other disparities are mostly nonzero for random texture
+    assert (vol[0, 4:-4, 24:56] > 0).mean() > 0.9
+
+
+def test_sgm_recovers_shift_including_textureless(rng):
+    """SGM's smoothness term propagates disparity through a textureless
+    hole where plain block matching is ambiguous."""
+    left = rng.integers(0, 256, (48, 96), dtype=np.uint8)
+    left[16:32, 30:60] = 120  # textureless block
+    shift = 4
+    right = np.roll(left, -shift, axis=1)
+    disp = np.asarray(
+        sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                      max_disparity=16)
+    )
+    inner = disp[8:-8, 20:80]
+    assert np.abs(inner - shift).mean() < 0.5
+    # inside the textureless hole specifically
+    hole = disp[20:28, 36:54]
+    assert np.abs(hole - shift).mean() < 0.75
+
+
+def test_sgm_subpixel_within_half_pixel(rng):
+    left = rng.integers(0, 256, (32, 80), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)
+    d = np.asarray(
+        sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                      max_disparity=8, subpixel=True)
+    )
+    inner = d[4:-4, 16:70]
+    assert np.abs(inner - 3).max() <= 0.5 + 1e-6
+
+
+def test_sgm_on_real_pair_smoke(stereo_pair_small):
+    left, right = stereo_pair_small
+    lc = left[180:244, 200:360]
+    rc = right[180:244, 200:360]
+    disp = np.asarray(
+        sgm_disparity(jnp.asarray(lc), jnp.asarray(rc), max_disparity=32)
+    )
+    assert disp.shape == lc.shape
+    assert 0 <= disp.min() and disp.max() <= 32
+    assert disp.std() > 0.1  # nontrivial structure
+
+
+def test_sgm_matcher_in_pipeline_protocol(rng):
+    from steroscopic_hardware_tpu.models.blockmatch import SGMMatcher
+    from steroscopic_hardware_tpu.utils.params import Parameters
+
+    m = SGMMatcher()
+    m.set_params(Parameters(7, 16))
+    left = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    right = np.roll(left, -4, axis=1)
+    out = m.compute(left, right)
+    assert out.dtype == np.uint8 and out.shape == left.shape
+    raw = m.compute_raw(left, right)
+    assert np.abs(raw[8:-8, 16:48] - 4).mean() < 0.5
