@@ -72,7 +72,31 @@ label{display:block;margin-top:.8rem}
 <label>max disparity <input type="range" name="maxDisparity" min="16"
  max="256" step="16" value="64"><span id="mdv">64</span></label>
 </form>
+<details><summary>camera setup</summary>
+<form id="upload" enctype="multipart/form-data">
+ <select name="type"><option>left</option><option>right</option></select>
+ <input type="file" name="image" accept="image/png">
+ <button type="submit">upload image</button>
+</form>
+<form id="configure">
+ <select name="side"><option>left</option><option>right</option></select>
+ host <input name="host" value="127.0.0.1" size="12">
+ port <input name="port" size="6">
+ codec <select name="codec"><option value="0">raw</option>
+  <option value="1">range</option><option value="2">lzma</option></select>
+ <button type="submit">connect camera</button>
+</form>
+</details>
 <div id="metrics"></div>
+<script>
+document.getElementById('upload').addEventListener('submit',async e=>{
+ e.preventDefault();
+ await fetch('/upload',{method:'POST',body:new FormData(e.target)});});
+document.getElementById('configure').addEventListener('submit',async e=>{
+ e.preventDefault();const f=new FormData(e.target);
+ await fetch('/'+f.get('side')+'/configure',{method:'POST',
+  body:new URLSearchParams(f)});});
+</script>
 <script>
 const form=document.getElementById('params');let t;
 form.addEventListener('input',e=>{
@@ -244,16 +268,22 @@ def _make_handler(ctx: AppContext):
             self._json(params.to_json())
 
         def _configure(self, side: str):
+            # configure.go:26-120 parity: port + compression codec form
+            # (baud rate has no TCP analog; codec replaces "compression")
             form = self._form()
             host = form.get("host", "127.0.0.1")
             port = int(form.get("port", 0))
+            codec = int(form.get("codec", 0))
             if isinstance(host, bytes):
                 host = host.decode()
             if port <= 0:
                 raise ParamValidationError("port required")
+            if codec not in (0, 1, 2):
+                raise ParamValidationError(f"bad codec {codec}")
             src = TcpSource(ctx.bus, side, host, port)
             ctx.manager.set_source(side, src)
-            self._json({"configured": side, "host": host, "port": port})
+            self._json({"configured": side, "host": host, "port": port,
+                        "codec": codec})
 
         def _upload(self):
             form = self._form()
