@@ -31,11 +31,24 @@ def main(argv=None):
     ap.add_argument("--right", default=None, help="right boot image (PNG)")
     ap.add_argument("--fps", type=float, default=10.0)
     ap.add_argument("--lr-check", action="store_true")
+    ap.add_argument(
+        "--backend", default="auto", choices=["auto", "pallas", "xla", "sgm"],
+        help="compute backend (xla = portable escape hatch when the TPU "
+             "path is unavailable; sgm = semi-global matching quality mode)",
+    )
     args = ap.parse_args(argv)
 
     log = shlog.get_logger("main")
     manager = CameraManager()
-    pipeline = DepthPipeline(manager.bus, lr_check=args.lr_check)
+    if args.backend == "sgm":
+        from steroscopic_hardware_tpu.models.blockmatch import SGMMatcher
+
+        matcher = SGMMatcher()
+    else:
+        from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
+
+        matcher = BlockMatcher(backend=args.backend)
+    pipeline = DepthPipeline(manager.bus, matcher, lr_check=args.lr_check)
     ctx = AppContext(manager=manager, pipeline=pipeline)
 
     left = args.left or os.path.join(DEFAULT_TESTDATA, "L_00001.png")

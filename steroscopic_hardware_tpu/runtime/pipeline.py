@@ -38,6 +38,7 @@ class DepthPipeline:
         self._times = collections.deque(maxlen=100)
         self.frames = 0
         self.errors = 0
+        self._busy_since: float | None = None
 
     def start(self):
         if self._thread is None:
@@ -64,10 +65,14 @@ class DepthPipeline:
             h = min(left.shape[0], right.shape[0])
             w = min(left.shape[1], right.shape[1])
             left, right = left[:h, :w], right[:h, :w]
-        if self.lr_check:
-            depth, _ = self.matcher.compute_checked(left, right)
-        else:
-            depth = self.matcher.compute(left, right)
+        self._busy_since = t0
+        try:
+            if self.lr_check and hasattr(self.matcher, "compute_checked"):
+                depth, _ = self.matcher.compute_checked(left, right)
+            else:
+                depth = self.matcher.compute(left, right)
+        finally:
+            self._busy_since = None
         self._times.append(time.time() - t0)
         self.frames += 1
         self.bus.publish(self.out_slot, depth, source="DepthPipeline")
@@ -87,15 +92,31 @@ class DepthPipeline:
                 self.log.warning("pipeline error: %s", e)
                 time.sleep(0.01)
 
+    def _state(self) -> str:
+        """Human-readable pipeline state: surfaces a stuck first compile
+        (e.g. a wedged TPU compile service) instead of a silent frames=0."""
+        busy = self._busy_since
+        if busy is not None:
+            elapsed = time.time() - busy
+            if self.frames == 0:
+                return (f"compiling first kernel ({elapsed:.0f}s)"
+                        if elapsed > 2 else "computing")
+            if elapsed > 10:
+                return f"stalled in compute ({elapsed:.0f}s)"
+            return "computing"
+        return "running" if self.frames else "waiting for frames"
+
     def metrics(self) -> dict:
         times = list(self._times)
         if not times:
-            return {"frames": self.frames, "errors": self.errors}
+            return {"frames": self.frames, "errors": self.errors,
+                    "state": self._state()}
         p = self.matcher.get_params()
         arr = np.array(times)
         return {
             "frames": self.frames,
             "errors": self.errors,
+            "state": self._state(),
             "fps": round(1.0 / float(arr.mean()), 2),
             "ms_mean": round(float(arr.mean()) * 1000, 2),
             "ms_p50": round(float(np.median(arr)) * 1000, 2),

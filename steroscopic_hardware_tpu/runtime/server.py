@@ -253,16 +253,23 @@ def _make_handler(ctx: AppContext):
                     self._send(404, b"not found")
             except ParamValidationError as e:
                 self._json({"error": str(e)}, code=400)
+            except ValueError as e:
+                if "body too large" in str(e):
+                    self._json({"error": str(e)}, code=413)
+                else:
+                    self._json({"error": str(e)}, code=400)
             except Exception as e:
                 ctx.log.warning("handler error on %s: %s", path, e)
                 self._json({"error": str(e)}, code=500)
 
         def _update_params(self):
             form = self._form()
-            params = validate_params(
-                int(form.get("blockSize", 0)),
-                int(form.get("maxDisparity", 0)),
-            )
+            try:
+                block = int(form.get("blockSize", 0))
+                disp = int(form.get("maxDisparity", 0))
+            except (TypeError, ValueError) as e:
+                raise ParamValidationError(f"non-integer parameter: {e}")
+            params = validate_params(block, disp)
             ctx.pipeline.matcher.set_params(params)
             ctx.log.info("params updated %s", params.to_json())
             self._json(params.to_json())

@@ -146,6 +146,31 @@ def test_configure_tcp_camera(server, rng):
         emitter.close()
 
 
+def test_update_params_non_integer_is_400(server):
+    status, body = _post(server + "/update-params",
+                         b"blockSize=banana&maxDisparity=64",
+                         "application/x-www-form-urlencoded")
+    assert status == 400
+    assert b"non-integer" in body
+
+
+def test_mjpeg_stream_pushes_frames(server):
+    """The multipart push stream must deliver at least one PNG part."""
+    req = urllib.request.Request(server + "/mjpeg/left")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        assert r.headers["Content-Type"].startswith(
+            "multipart/x-mixed-replace"
+        )
+        head = r.read(64)
+    assert head.startswith(b"--frame\r\nContent-Type: image/png")
+
+
+def test_metrics_reports_pipeline_state(server):
+    status, body, _ = _get(server + "/metrics")
+    m = json.loads(body)
+    assert "state" in m["pipeline"]
+
+
 def test_exit_dumps_log(server):
     status, body, _ = _get(server + "/exit")
     assert status == 200
