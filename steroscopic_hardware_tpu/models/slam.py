@@ -143,6 +143,14 @@ class StereoVO:
         return np.stack(out)
 
 
+def _relative_twist(xi_i: np.ndarray, xi_j: np.ndarray) -> np.ndarray:
+    """log(T_j * T_i^-1): the measured relative motion i -> j."""
+    Ri, ti = se3.se3_exp(jnp.asarray(xi_i))
+    Rj, tj = se3.se3_exp(jnp.asarray(xi_j))
+    Rii, tii = se3.inverse(Ri, ti)
+    return np.asarray(se3.se3_log(*se3.compose(Rj, tj, Rii, tii)))
+
+
 class StereoSLAM:
     """Keyframed stereo SLAM: VO front-end + sliding-window BA back-end +
     checkpoint/resume.
@@ -155,13 +163,23 @@ class StereoSLAM:
     """
 
     def __init__(self, camera: StereoCamera, *, window: int = 4,
-                 kf_every: int = 2, ba_iters: int = 6, **vo_kwargs):
+                 kf_every: int = 2, ba_iters: int = 6,
+                 loop_closure: bool = False, loop_min_matches: int = 30,
+                 loop_gap: int = 4, **vo_kwargs):
         self.vo = StereoVO(camera, **vo_kwargs)
         self.cam = camera
         self.window = window
         self.kf_every = kf_every
         self.ba_iters = ba_iters
+        self.loop_closure = loop_closure
+        self.loop_min_matches = loop_min_matches
+        self.loop_gap = loop_gap
         self.keyframes: list[FrameState] = []
+        # full keyframe history for loop closure + pose-graph nodes:
+        # (FrameState, trajectory index)
+        self.kf_history: list[tuple[FrameState, int]] = []
+        self.graph_edges: list[tuple[int, int, np.ndarray]] = []
+        self.loops_closed = 0
         self.frame_idx = 0
         self.ba_runs = 0
         self.last_ba_errs: np.ndarray | None = None
@@ -169,13 +187,80 @@ class StereoSLAM:
     def process(self, left, right) -> np.ndarray:
         xi = self.vo.process(left, right)
         if self.frame_idx % self.kf_every == 0:
-            self.keyframes.append(self.vo.prev)
+            kf = self.vo.prev
+            self.keyframes.append(kf)
             if len(self.keyframes) > self.window:
                 self.keyframes.pop(0)
             if len(self.keyframes) >= 2:
                 self._refine_window()
+            # sequential pose-graph edge between consecutive keyframes
+            if self.kf_history:
+                prev_kf, _ = self.kf_history[-1]
+                rel = _relative_twist(prev_kf.xi_world, kf.xi_world)
+                self.graph_edges.append(
+                    (len(self.kf_history) - 1, len(self.kf_history), rel)
+                )
+            self.kf_history.append((kf, len(self.vo.trajectory) - 1))
+            if self.loop_closure:
+                self._try_loop_closure()
         self.frame_idx += 1
         return self.vo.trajectory[-1]
+
+    def _try_loop_closure(self):
+        """Match the newest keyframe against old (out-of-window)
+        keyframes; on a strong match, estimate the relative pose by PnP,
+        add a pose-graph edge, and re-optimize all keyframe poses."""
+        cur, _ = self.kf_history[-1]
+        cur_idx = len(self.kf_history) - 1
+        best = None
+        for j in range(0, cur_idx - self.loop_gap):
+            old, _ = self.kf_history[j]
+            idx, good = match(
+                jnp.asarray(old.desc), jnp.asarray(cur.desc),
+                jnp.asarray(old.valid), jnp.asarray(cur.valid),
+                ratio=0.85, max_distance=60.0,
+            )
+            good = np.asarray(good) & old.pts_ok
+            n = int(good.sum())
+            if n >= self.loop_min_matches and (best is None or n > best[0]):
+                best = (n, j, np.asarray(idx), good)
+        if best is None:
+            return
+        n, j, idx, good = best
+        old, _ = self.kf_history[j]
+        uv = cur.xy[idx].astype(np.float32)
+        self.vo._key, sub = jax.random.split(self.vo._key)
+        xi_rel, inliers, n_inl = pnp_ransac(
+            jnp.asarray(old.pts_cam), jnp.asarray(uv), jnp.asarray(good),
+            self.cam.intr, sub, n_hypotheses=32,
+        )
+        if int(n_inl) < self.loop_min_matches:
+            return
+        # measured T_cur_old from PnP of old's 3D points in cur's image
+        self.graph_edges.append((j, cur_idx, np.asarray(xi_rel)))
+        self.loops_closed += 1
+        self._optimize_pose_graph()
+
+    def _optimize_pose_graph(self):
+        nodes = np.stack(
+            [kf.xi_world for kf, _ in self.kf_history]
+        ).astype(np.float32)
+        edges = np.array([(i, j) for i, j, _ in self.graph_edges],
+                         np.int32)
+        meas = np.stack([m for _, _, m in self.graph_edges]).astype(
+            np.float32
+        )
+        w = np.ones(len(self.graph_edges), np.float32)
+        xi_opt, _ = pose_graph_optimize(
+            jnp.asarray(nodes), jnp.asarray(edges), jnp.asarray(meas),
+            jnp.asarray(w), iters=10,
+        )
+        xi_opt = np.asarray(xi_opt)
+        for (kf, traj_idx), xi in zip(self.kf_history, xi_opt):
+            kf.xi_world = xi
+            self.vo.trajectory[traj_idx] = xi
+        self.vo.prev.xi_world = xi_opt[-1]
+        self.vo.trajectory[-1] = xi_opt[-1]
 
     def _refine_window(self):
         kfs = self.keyframes

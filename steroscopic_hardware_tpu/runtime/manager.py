@@ -56,14 +56,25 @@ class CameraManager:
                 self.log.info("closed source %s", name)
             self._sources.clear()
 
-    def status(self) -> dict:
+    def status(self, stale_after: float = 2.0) -> dict:
+        """Per-source status with failure detection: a source whose last
+        bus frame is older than ``stale_after`` seconds is flagged
+        ``stale`` (the watchdog the reference approximates with its 1 s
+        UI health poll, SURVEY.md section 5)."""
+        import time
+
+        now = time.time()
         with self._lock:
-            return {
-                name: {
+            out = {}
+            for name, s in self._sources.items():
+                f = self.bus.latest(name)
+                age = None if f is None else round(now - f.timestamp, 2)
+                out[name] = {
                     "type": type(s).__name__,
                     "closed": s.closed,
                     "frames": s.frames_published,
                     "bus_seq": self.bus.seq(name),
+                    "last_frame_age_s": age,
+                    "stale": age is None or age > stale_after,
                 }
-                for name, s in self._sources.items()
-            }
+            return out

@@ -88,3 +88,37 @@ def test_slam_with_ba_and_resume(tmp_path, rng):
     est = slam2.vo.positions()
     ate = ate_rmse(est, np.stack(gt))
     assert ate < 0.15, f"ATE {ate}"
+
+
+def test_loop_closure_fires_and_reduces_drift():
+    """Out-and-back trajectory: the final pose revisits the start; loop
+    closure must fire and pull the drifted estimate toward the loop
+    constraint. (Own deterministic rng: the shared session fixture's
+    state depends on test order.)"""
+    rng = np.random.default_rng(42)
+    pts, patches = _make_world(rng)
+    # out-and-back along x
+    xis = []
+    steps = [0.12] * 5 + [-0.12] * 5
+    cur = np.zeros(6, np.float32)
+    xis.append(cur.copy())
+    for s in steps:
+        cur = cur.copy()
+        cur[0] += s
+        xis.append(cur.copy())
+
+    slam = StereoSLAM(CAM, window=3, kf_every=1, ba_iters=3,
+                      loop_closure=True, loop_min_matches=25, loop_gap=4,
+                      block_size=7, max_disparity=32, max_keypoints=128,
+                      fast_threshold=15)
+    for xi in xis:
+        left = _render(pts, patches, xi)
+        right = _render(pts, patches, xi, right=True)
+        slam.process(left, right)
+    assert slam.loops_closed >= 1
+    # final pose should be near the start (ground truth returns to origin)
+    import jax.numpy as jnp
+    from steroscopic_hardware_tpu.ops import se3 as _se3
+    R, t = _se3.se3_exp(jnp.asarray(slam.vo.trajectory[-1]))
+    _, ti = _se3.inverse(R, t)
+    assert np.linalg.norm(np.asarray(ti)) < 0.12
