@@ -36,6 +36,14 @@ def main(argv=None):
         help="compute backend (xla = portable escape hatch when the TPU "
              "path is unavailable; sgm = semi-global matching quality mode)",
     )
+    ap.add_argument("--slam", action="store_true",
+                    help="run live stereo SLAM; trajectory at GET /slam")
+    ap.add_argument("--fx", type=float, default=500.0)
+    ap.add_argument("--fy", type=float, default=500.0)
+    ap.add_argument("--cx", type=float, default=None)
+    ap.add_argument("--cy", type=float, default=None)
+    ap.add_argument("--baseline", type=float, default=0.1,
+                    help="stereo baseline in meters")
     args = ap.parse_args(argv)
 
     log = shlog.get_logger("main")
@@ -49,7 +57,20 @@ def main(argv=None):
 
         matcher = BlockMatcher(backend=args.backend)
     pipeline = DepthPipeline(manager.bus, matcher, lr_check=args.lr_check)
-    ctx = AppContext(manager=manager, pipeline=pipeline)
+    slam_pipeline = None
+    if args.slam:
+        from steroscopic_hardware_tpu.models.slam import StereoCamera
+        from steroscopic_hardware_tpu.runtime.pipeline import SlamPipeline
+
+        cam = StereoCamera(
+            fx=args.fx, fy=args.fy,
+            cx=args.cx if args.cx is not None else 320.0,
+            cy=args.cy if args.cy is not None else 240.0,
+            baseline=args.baseline,
+        )
+        slam_pipeline = SlamPipeline(manager.bus, cam)
+    ctx = AppContext(manager=manager, pipeline=pipeline,
+                     slam_pipeline=slam_pipeline)
 
     left = args.left or os.path.join(DEFAULT_TESTDATA, "L_00001.png")
     right = args.right or os.path.join(DEFAULT_TESTDATA, "R_00001.png")

@@ -111,6 +111,9 @@ class DepthPipeline:
         if not times:
             return {"frames": self.frames, "errors": self.errors,
                     "state": self._state()}
+        return self._metrics_with_times(times)
+
+    def _metrics_with_times(self, times) -> dict:
         p = self.matcher.get_params()
         arr = np.array(times)
         return {
@@ -124,3 +127,84 @@ class DepthPipeline:
             "block_size": p.block_size,
             "max_disparity": p.max_disparity,
         }
+
+
+class SlamPipeline:
+    """Live stereo SLAM over the frame bus.
+
+    Pairs the newest left/right frames, feeds them through
+    :class:`~steroscopic_hardware_tpu.models.slam.StereoSLAM`, and exposes
+    the running trajectory — the product surface for the north-star SLAM
+    capability (served at ``GET /slam``).
+    """
+
+    def __init__(self, bus: FrameBus, camera, *, left_slot="left",
+                 right_slot="right", slam_kwargs=None):
+        from steroscopic_hardware_tpu.models.slam import StereoSLAM
+
+        self.bus = bus
+        self.left_slot = left_slot
+        self.right_slot = right_slot
+        self.slam = StereoSLAM(camera, **(slam_kwargs or {}))
+        self.log = get_logger("slam")
+        self._closed = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+        self.frames = 0
+        self.errors = 0
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        return self
+
+    def close(self, timeout: float = 5.0):
+        self._closed.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def step(self):
+        lf = self.bus.latest(self.left_slot)
+        rf = self.bus.latest(self.right_slot)
+        if lf is None or rf is None:
+            return None
+        xi = self.slam.process(lf.data, rf.data)
+        self.frames += 1
+        # refresh the cached snapshot under the lock so /slam never blocks
+        # behind a long compute (e.g. a first-kernel compile)
+        snap = {
+            "frames": self.frames,
+            "errors": self.errors,
+            "keyframes": len(self.slam.kf_history),
+            "ba_runs": self.slam.ba_runs,
+            "loops_closed": self.slam.loops_closed,
+            "inliers": list(self.slam.vo.n_inliers[-20:]),
+            "positions": self.slam.vo.positions().tolist(),
+        }
+        with self._lock:
+            self._snapshot = snap
+        return xi
+
+    def _run(self):
+        last_seq = 0
+        while not self._closed.is_set():
+            f = self.bus.wait_next(self.left_slot, last_seq, timeout=0.5)
+            if f is None:
+                continue
+            last_seq = f.seq
+            try:
+                self.step()
+            except Exception as e:
+                self.errors += 1
+                self.log.warning("slam error: %s", e)
+                time.sleep(0.01)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            snap = getattr(self, "_snapshot", None)
+        if snap is None:
+            return {"frames": 0, "errors": self.errors, "keyframes": 0,
+                    "ba_runs": 0, "loops_closed": 0, "inliers": [],
+                    "positions": []}
+        return snap

@@ -114,10 +114,12 @@ class AppContext:
     """Wires bus + manager + pipeline + config for the handler."""
 
     def __init__(self, manager: CameraManager | None = None,
-                 pipeline: DepthPipeline | None = None):
+                 pipeline: DepthPipeline | None = None,
+                 slam_pipeline=None):
         self.manager = manager or CameraManager()
         self.bus: FrameBus = self.manager.bus
         self.pipeline = pipeline or DepthPipeline(self.bus)
+        self.slam_pipeline = slam_pipeline
         self.log = shlog.get_logger("server")
         self.started = time.time()
 
@@ -198,6 +200,13 @@ def _make_handler(ctx: AppContext):
                     "sources": ctx.manager.status(),
                     "uptime_s": round(time.time() - ctx.started, 1),
                 })
+            elif path == "/slam":
+                if ctx.slam_pipeline is None:
+                    self._json({"enabled": False}, code=404)
+                else:
+                    self._json(
+                        {"enabled": True, **ctx.slam_pipeline.snapshot()}
+                    )
             elif path == "/exit":
                 self._send(200, shlog.dump_buffer())
             elif path == "/ports":
@@ -329,6 +338,8 @@ class Server:
 
     def start(self):
         self.ctx.pipeline.start()
+        if self.ctx.slam_pipeline is not None:
+            self.ctx.slam_pipeline.start()
         self._thread = threading.Thread(
             target=self.httpd.serve_forever, daemon=True
         )
@@ -340,4 +351,6 @@ class Server:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.ctx.pipeline.close()
+        if self.ctx.slam_pipeline is not None:
+            self.ctx.slam_pipeline.close()
         self.ctx.manager.close_all()

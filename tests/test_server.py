@@ -175,3 +175,45 @@ def test_exit_dumps_log(server):
     status, body, _ = _get(server + "/exit")
     assert status == 200
     assert b"shtpu" in body or len(body) >= 0  # buffer may include records
+
+
+def test_slam_endpoint(rng):
+    """Live SLAM surface: /slam serves the running trajectory."""
+    from steroscopic_hardware_tpu.models.slam import StereoCamera
+    from steroscopic_hardware_tpu.runtime.pipeline import SlamPipeline
+
+    mgr = CameraManager()
+    mgr.set_source("left", SyntheticSource(
+        mgr.bus, "left", shape=(64, 96), fps=20.0, seed=9))
+    mgr.set_source("right", SyntheticSource(
+        mgr.bus, "right", shape=(64, 96), fps=20.0, shift=4, seed=9))
+    cam = StereoCamera(fx=120.0, fy=120.0, cx=48.0, cy=32.0, baseline=0.2)
+    slam = SlamPipeline(mgr.bus, cam, slam_kwargs=dict(
+        block_size=7, max_disparity=16, max_keypoints=64,
+        fast_threshold=15))
+    pipe = DepthPipeline(mgr.bus, BlockMatcher(backend="xla"))
+    srv = Server(AppContext(manager=mgr, pipeline=pipe,
+                            slam_pipeline=slam)).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        t0 = time.time()
+        frames = 0
+        while time.time() - t0 < 30:
+            status, body, _ = _get(base + "/slam")
+            d = json.loads(body)
+            frames = d.get("frames", 0)
+            if frames >= 2:
+                break
+            time.sleep(0.2)
+        assert frames >= 2, d
+        assert d["enabled"] is True
+        assert len(d["positions"]) == frames
+    finally:
+        srv.shutdown()
+
+
+def test_slam_endpoint_disabled_404(server):
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/slam")
+    assert e.value.code == 404
