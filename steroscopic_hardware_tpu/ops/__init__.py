@@ -11,6 +11,10 @@ from steroscopic_hardware_tpu.ops.sad_golden import (
     sad_window_golden,
 )
 from steroscopic_hardware_tpu.ops.lr_check import disparity_lr_checked
+from steroscopic_hardware_tpu.ops.sad_pallas import (
+    disparity_pallas,
+    disparity_pallas_batch,
+)
 from steroscopic_hardware_tpu.ops.sgm import sgm_disparity
 from steroscopic_hardware_tpu.ops.census import census5x5
 from steroscopic_hardware_tpu.ops.features import (
@@ -27,6 +31,8 @@ __all__ = [
     "disparity_golden",
     "sad_window_golden",
     "disparity_lr_checked",
+    "disparity_pallas",
+    "disparity_pallas_batch",
     "sgm_disparity",
     "census5x5",
     "detect_and_describe",

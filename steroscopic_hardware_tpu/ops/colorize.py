@@ -1,0 +1,46 @@
+"""Depth-map colorization for the visualization stream.
+
+The reference serves raw grayscale disparity; a perceptual colormap makes
+depth structure far more readable in the live view. ``turbo_colormap``
+implements the Turbo colormap via its published 4th-order polynomial fit
+(Google AI blog, 2019) — no lookup-table asset needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Polynomial coefficients fit to the Turbo colormap (degree 5 per channel).
+_R = np.array([0.13572138, 4.61539260, -42.66032258, 132.13108234,
+               -152.94239396, 59.28637943])
+_G = np.array([0.09140261, 2.19418839, 4.84296658, -14.18503333,
+               4.27729857, 2.82956604])
+_B = np.array([0.10667330, 12.64194608, -60.58204836, 110.36276771,
+               -89.90310912, 27.34824973])
+
+
+def _poly(c, x):
+    y = np.zeros_like(x)
+    for k in c[::-1]:
+        y = y * x + k
+    return y
+
+
+def turbo_colormap(values: np.ndarray) -> np.ndarray:
+    """Map values in [0, 1] -> (..., 3) uint8 RGB via Turbo."""
+    x = np.clip(np.asarray(values, np.float32), 0.0, 1.0)
+    rgb = np.stack(
+        [_poly(_R[::-1], x), _poly(_G[::-1], x), _poly(_B[::-1], x)], -1
+    )
+    return (np.clip(rgb, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+
+
+def colorize_disparity(disp_u8: np.ndarray,
+                       invalid_value: int | None = None) -> np.ndarray:
+    """uint8 disparity map -> RGB visualization (near = red, far = blue;
+    invalid pixels black)."""
+    x = disp_u8.astype(np.float32) / 255.0
+    rgb = turbo_colormap(x)
+    if invalid_value is not None:
+        rgb[disp_u8 == invalid_value] = 0
+    return rgb

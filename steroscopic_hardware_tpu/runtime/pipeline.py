@@ -25,13 +25,14 @@ from steroscopic_hardware_tpu.runtime.logger import get_logger
 class DepthPipeline:
     def __init__(self, bus: FrameBus, matcher: BlockMatcher | None = None,
                  left_slot="left", right_slot="right", out_slot="out",
-                 lr_check: bool = False):
+                 lr_check: bool = False, colorize: bool = True):
         self.bus = bus
         self.matcher = matcher or BlockMatcher()
         self.left_slot = left_slot
         self.right_slot = right_slot
         self.out_slot = out_slot
         self.lr_check = lr_check
+        self.colorize = colorize
         self.log = get_logger("pipeline")
         self._closed = threading.Event()
         self._thread: threading.Thread | None = None
@@ -76,6 +77,14 @@ class DepthPipeline:
         self._times.append(time.time() - t0)
         self.frames += 1
         self.bus.publish(self.out_slot, depth, source="DepthPipeline")
+        if self.colorize:
+            from steroscopic_hardware_tpu.ops.colorize import (
+                colorize_disparity,
+            )
+
+            self.bus.publish(
+                "depth", colorize_disparity(depth), source="DepthPipeline"
+            )
         return depth
 
     def _run(self):

@@ -64,7 +64,7 @@ label{display:block;margin-top:.8rem}
 <div class="row">
 <figure><img id="left" src="/mjpeg/left"><figcaption>left</figcaption></figure>
 <figure><img id="right" src="/mjpeg/right"><figcaption>right</figcaption></figure>
-<figure><img id="out" src="/mjpeg/out"><figcaption>depth</figcaption></figure>
+<figure><img id="out" src="/mjpeg/depth"><figcaption>depth</figcaption></figure>
 </div>
 <form id="params">
 <label>block size <input type="range" name="blockSize" min="3" max="31"

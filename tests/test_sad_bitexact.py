@@ -140,3 +140,20 @@ def test_full_frame_numpy_vs_xla(stereo_pair_small):
     a = disparity_numpy(left, right, 7, 64)
     b = np.asarray(disparity_xla(left, right, block_size=7, max_disparity=64))
     assert np.array_equal(a, b)
+
+
+def test_middlebury_pair_crop():
+    """im0/im1 (1080p RGB pair): our gray path converts correctly where
+    the reference's *image.RGBA path yields all-zero gray (gray.go:35-37
+    8-bit/16-bit mismatch; SURVEY.md section 6: target the algorithm, not
+    the artifact)."""
+    from steroscopic_hardware_tpu.ops.gray import load_gray
+
+    left = load_gray("/root/reference/testdata/im0.png")
+    right = load_gray("/root/reference/testdata/im1.png")
+    assert left.shape == (1080, 1920)
+    assert left.std() > 10  # NOT the all-zero artifact
+    lc, rc = left[500:564, 600:728], right[500:564, 600:728]
+    a = disparity_numpy(lc, rc, 7, 32)
+    b = np.asarray(disparity_xla(lc, rc, block_size=7, max_disparity=32))
+    assert np.array_equal(a, b)

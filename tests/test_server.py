@@ -217,3 +217,16 @@ def test_slam_endpoint_disabled_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server + "/slam")
     assert e.value.code == 404
+
+
+def test_colorized_depth_stream(server):
+    """The pipeline also publishes a Turbo-colorized RGB depth view."""
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        try:
+            _, body, _ = _get(server + "/stream/depth")
+            break
+        except urllib.error.HTTPError:
+            time.sleep(0.1)
+    img = read_png(body)
+    assert img.shape == (24, 48, 3)
