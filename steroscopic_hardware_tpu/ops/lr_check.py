@@ -13,10 +13,10 @@ reference's disparity normalization never produces values above
 255*maxD/maxD = 255 only at d = maxD, so callers who need a strict
 sentinel can use the returned mask instead).
 
-The right-referenced sweep reuses the same cost-volume machinery with the
-roles of the images swapped and the scan direction mirrored (implemented by
-horizontally flipping both images, running the standard left sweep, and
-flipping back — an exact equivalence).
+Both directions come from ONE cost-volume sweep
+(``disparity_raw_lr_xla``): the right-referenced cost is the diagonal
+``C(xr + d, d)`` of the left volume, so dR costs only a shifted second
+argmin accumulator instead of a full second pass.
 
 Raw (un-normalized) disparities are used for the comparison, matching
 standard stereo practice; the returned map is normalized like the
@@ -30,7 +30,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_xla
+from steroscopic_hardware_tpu.ops.sad_xla import (
+    disparity_raw_lr_xla,
+    disparity_raw_xla,
+)
 
 
 @functools.partial(
@@ -51,19 +54,9 @@ def disparity_lr_checked(
     Returns ``(disparity_u8, valid_mask)`` where invalid pixels carry
     ``invalid_value`` in the map and ``False`` in the mask.
     """
-    dL = disparity_raw_xla(
+    dL, dR = disparity_raw_lr_xla(
         left, right, block_size=block_size, max_disparity=max_disparity
     )
-    # Right-referenced disparity via the flip trick: matching right pixels
-    # against left pixels at larger x == matching flipped-left against
-    # flipped-right with the standard sweep.
-    dR_f = disparity_raw_xla(
-        right[..., ::-1],
-        left[..., ::-1],
-        block_size=block_size,
-        max_disparity=max_disparity,
-    )
-    dR = dR_f[..., ::-1]
 
     W = left.shape[-1]
     xs = jax.lax.broadcasted_iota(jnp.int32, dL.shape, dL.ndim - 1)

@@ -108,6 +108,77 @@ def disparity_raw_xla(
 @functools.partial(
     jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
 )
+def disparity_raw_lr_xla(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    d_chunk: int = 16,
+):
+    """One-sweep left- AND right-referenced raw disparities.
+
+    The same cost volume serves both directions: the right-referenced
+    cost at right pixel xr and candidate d is the diagonal
+    ``C(xr + d, d)``, so each sweep step updates the right accumulator
+    with the left cost row shifted by d — half the work of two sweeps.
+    Returns (dL, dR) int32 maps (dR indexed by right-image pixel).
+    """
+    half = block_size // 2
+    W = left.shape[-1]
+    L = left.astype(jnp.int32)
+    R = right.astype(jnp.int32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    n_d = max_disparity + 1
+    n_chunks = -(-n_d // d_chunk)
+    Rpad = jnp.pad(R, [(0, 0)] * (R.ndim - 1) + [(max_disparity, 0)])
+
+    def step(carry, chunk_idx):
+        d0 = chunk_idx * d_chunk
+
+        def body(i, c):
+            bcL, bdL, bcR, bdR = c
+            d = d0 + i
+            dd = jnp.minimum(d, max_disparity)
+            Rs = jax.lax.dynamic_slice_in_dim(
+                Rpad, max_disparity - dd, W, axis=-1
+            )
+            ad = jnp.abs(L - Rs)
+            ad = jnp.where(xs >= dd, ad, 0)
+            cost = _box_sum_2d(ad, half)
+            ok = d <= max_disparity
+            costL = jnp.where((xs >= d + half) & ok, cost, _BIG)
+            betterL = costL < bcL
+            bcL = jnp.where(betterL, costL, bcL)
+            bdL = jnp.where(betterL, d, bdL)
+            # right-referenced diagonal: costR[xr] = cost[xr + d]
+            costP = jnp.pad(
+                cost,
+                [(0, 0)] * (cost.ndim - 1) + [(0, max_disparity)],
+                constant_values=_BIG,
+            )
+            costR = jax.lax.dynamic_slice_in_dim(costP, dd, W, axis=-1)
+            costR = jnp.where((xs >= half) & ok, costR, _BIG)
+            betterR = costR < bcR
+            bcR = jnp.where(betterR, costR, bcR)
+            bdR = jnp.where(betterR, d, bdR)
+            return bcL, bdL, bcR, bdR
+
+        return jax.lax.fori_loop(0, d_chunk, body, carry), None
+
+    init = (
+        jnp.full_like(L, _BIG), jnp.zeros_like(L),
+        jnp.full_like(L, _BIG), jnp.zeros_like(L),
+    )
+    (_, dL, _, dR), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return dL, dR
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
+)
 def disparity_xla(
     left: jnp.ndarray,
     right: jnp.ndarray,

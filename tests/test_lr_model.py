@@ -81,3 +81,36 @@ def test_sweep_runner(rng):
             disparity_numpy(left, right, params.block_size,
                             params.max_disparity),
         )
+
+
+def test_one_sweep_lr_matches_diagonal_golden(rng):
+    """dR from the fused sweep must equal the argmin over the cost-volume
+    diagonal C(xr + d, d), computed here by brute force from the golden
+    window function."""
+    from steroscopic_hardware_tpu.ops.sad_golden import sad_window_golden
+    from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_lr_xla
+
+    left, right = _shifted_pair(rng, 14, 30, 3)
+    B, D = 5, 8
+    h = B // 2
+    dL, dR = disparity_raw_lr_xla(
+        left, right, block_size=B, max_disparity=D
+    )
+    dL, dR = np.asarray(dL), np.asarray(dR)
+    H, W = left.shape
+    for y in range(H):
+        for xr in range(W):
+            best, bd = None, 0
+            for d in range(D + 1):
+                x = xr + d
+                if x >= W or x < d + h or xr < h:
+                    continue
+                s = sad_window_golden(left, right, x, y, x - d, y, B)
+                if best is None or s < best:
+                    best, bd = s, d
+            assert dR[y, xr] == bd, (y, xr, dR[y, xr], bd)
+    # dL unchanged semantics: spot-check against the normalized map
+    from steroscopic_hardware_tpu.ops.sad_golden import disparity_numpy
+
+    want = disparity_numpy(left, right, B, D)
+    assert np.array_equal(((dL * 255) // D).astype(np.uint8), want)
