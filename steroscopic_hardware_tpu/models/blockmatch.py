@@ -86,16 +86,31 @@ class BlockMatcher:
         return np.asarray(out)
 
     def compute_checked(self, left, right):
-        """Disparity plus left-right consistency mask."""
+        """Disparity plus left-right consistency mask (fused one-sweep
+        kernel on TPU, XLA elsewhere)."""
         p = self.store.get()
         thr = 1 if self.lr_threshold is None else self.lr_threshold
-        disp, valid = disparity_lr_checked(
-            jax.numpy.asarray(left),
-            jax.numpy.asarray(right),
-            block_size=p.block_size,
-            max_disparity=p.max_disparity,
-            threshold=thr,
-        )
+        left = jax.numpy.asarray(left)
+        right = jax.numpy.asarray(right)
+        if self.backend == "pallas":
+            from steroscopic_hardware_tpu.ops.sad_pallas import (
+                disparity_pallas_lr,
+            )
+            from steroscopic_hardware_tpu.ops.lr_check import check_from_raw
+
+            dL, dR = disparity_pallas_lr(
+                left, right,
+                block_size=p.block_size, max_disparity=p.max_disparity,
+            )
+            disp, valid = check_from_raw(
+                dL, dR, left.shape[-1], p.max_disparity, threshold=thr
+            )
+        else:
+            disp, valid = disparity_lr_checked(
+                left, right,
+                block_size=p.block_size, max_disparity=p.max_disparity,
+                threshold=thr,
+            )
         return np.asarray(disp), np.asarray(valid)
 
     # -- compile-bucket management ------------------------------------------

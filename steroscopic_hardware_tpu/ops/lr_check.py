@@ -57,8 +57,16 @@ def disparity_lr_checked(
     dL, dR = disparity_raw_lr_xla(
         left, right, block_size=block_size, max_disparity=max_disparity
     )
+    return check_from_raw(
+        dL, dR, left.shape[-1], max_disparity,
+        threshold=threshold, invalid_value=invalid_value,
+    )
 
-    W = left.shape[-1]
+
+def check_from_raw(dL, dR, W, max_disparity, *, threshold=1,
+                   invalid_value=255):
+    """LR consistency from precomputed raw maps (shared by the XLA and
+    Pallas paths)."""
     xs = jax.lax.broadcasted_iota(jnp.int32, dL.shape, dL.ndim - 1)
     # Gather dR at x - dL(x) along the last axis.
     idx = jnp.clip(xs - dL, 0, W - 1)

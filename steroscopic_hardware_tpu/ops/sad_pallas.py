@@ -304,3 +304,138 @@ def disparity_pallas_batch(
         row_tile=row_tile, interpret=interpret,
     )
     return jnp.stack([out[f * stride : f * stride + H] for f in range(F)])
+
+
+def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR):
+    h = block_size // 2
+    B = 2 * h + 1
+    n_d = max_disparity + 1
+
+    def kernel(l_hbm, r_hbm, outL, outR, lt_u8, rt_u8, lt32, rs,
+               bcL, bdL, bcR, bdR, sems):
+        t = pl.program_id(0)
+        d = pl.program_id(1)
+        row0 = t * TH
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
+        in_image = cols < W + h
+
+        @pl.when(d == 0)
+        def _():
+            cl = pltpu.make_async_copy(
+                l_hbm.at[pl.ds(row0, TR), :], lt_u8, sems.at[0]
+            )
+            cr = pltpu.make_async_copy(
+                r_hbm.at[pl.ds(row0, TR), :], rt_u8, sems.at[1]
+            )
+            cl.start()
+            cr.start()
+            cl.wait()
+            cr.wait()
+            lt32[:] = lt_u8[:].astype(jnp.int32)
+            rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
+            bcL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+            bdL[:] = jnp.zeros((TH, Wout), jnp.int32)
+            bcR[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+            bdR[:] = jnp.zeros((TH, Wout), jnp.int32)
+
+        @pl.when(d > 0)
+        def _():
+            shifted = jnp.concatenate(
+                [jnp.zeros((TR, 1), jnp.int32), rs[:, : Wbuf - 1]], axis=1
+            )
+            rs[:] = jnp.where(in_image, shifted, 0)
+
+        ad = jnp.abs(lt32[:] - rs[:])
+        colsum = _window_sum(ad, B, Wout, axis=1)
+        cost = _window_sum(colsum, B, TH, axis=0)
+
+        x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
+        costL = jnp.where(x >= d + h, cost, _BIG)
+        betterL = costL < bcL[:]
+        bcL[:] = jnp.where(betterL, costL, bcL[:])
+        bdL[:] = jnp.where(betterL, d, bdL[:])
+
+        # right-referenced diagonal: costR[xr] = cost[xr + d], via a
+        # dynamic left-rotate; wrapped and out-of-image columns masked.
+        costR = pltpu.roll(cost, Wout - d, axis=1)
+        costR = jnp.where((x >= h) & (x <= W - 1 - d), costR, _BIG)
+        betterR = costR < bcR[:]
+        bcR[:] = jnp.where(betterR, costR, bcR[:])
+        bdR[:] = jnp.where(betterR, d, bdR[:])
+
+        @pl.when(d == n_d - 1)
+        def _():
+            outL[:] = bdL[:]
+            outR[:] = bdR[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "max_disparity", "row_tile", "interpret"),
+)
+def disparity_pallas_lr(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    row_tile: int = 128,
+    interpret: bool = False,
+):
+    """Fused left+right raw disparities in ONE kernel sweep (the TPU
+    counterpart of ``sad_xla.disparity_raw_lr_xla``): the right-referenced
+    argmin rides the cost-volume diagonal via a per-step dynamic rotate.
+    Returns (dL, dR) int32 (H, W)."""
+    if left.shape != right.shape or left.ndim != 2:
+        raise ValueError("left/right must be identical-shape (H, W) images")
+    H, W = left.shape
+    h = block_size // 2
+    TH = min(row_tile, _round_up(max(H, 8), 8))
+    n_tiles = -(-H // TH)
+    Wout = _round_up(W, 128)
+    Wbuf = _round_up(Wout + 2 * h, 128)
+    TR = _round_up(TH + 2 * h, 32)
+    Hp = n_tiles * TH + (TR - TH)
+    n_d = max_disparity + 1
+
+    Lbuf = jnp.zeros((Hp, Wbuf), jnp.uint8)
+    Lbuf = jax.lax.dynamic_update_slice(Lbuf, left, (h, h))
+    Rbuf = jnp.zeros((Hp, Wbuf), jnp.uint8)
+    Rbuf = jax.lax.dynamic_update_slice(Rbuf, right, (h, h))
+
+    kernel = _make_lr_kernel(
+        H, W, block_size, max_disparity, TH, Wout, Wbuf, TR
+    )
+    outL, outR = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TH, Wout), lambda t, d: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, Wout), lambda t, d: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TR, Wbuf), jnp.uint8),
+            pltpu.VMEM((TR, Wbuf), jnp.uint8),
+            pltpu.VMEM((TR, Wbuf), jnp.int32),
+            pltpu.VMEM((TR, Wbuf), jnp.int32),
+            pltpu.VMEM((TH, Wout), jnp.int32),  # bcL
+            pltpu.VMEM((TH, Wout), jnp.int32),  # bdL
+            pltpu.VMEM((TH, Wout), jnp.int32),  # bcR
+            pltpu.VMEM((TH, Wout), jnp.int32),  # bdR
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(Lbuf, Rbuf)
+    return outL[:H, :W], outR[:H, :W]
