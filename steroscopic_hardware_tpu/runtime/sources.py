@@ -172,7 +172,7 @@ class TcpSource(BaseSource):
                     if ack != wire.ACK:
                         raise ConnectionError(f"bad ack {ack!r}")
                     backoff = 0.01
-                    parser = wire.FrameParser()
+                    parser = wire.make_parser()
                     while not self._closed.is_set():
                         data = sock.recv(65536)
                         if not data:

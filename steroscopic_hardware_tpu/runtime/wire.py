@@ -96,6 +96,71 @@ def encode_frame(frame: np.ndarray, codec: int = CODEC_RAW,
     )
 
 
+class NativeFrameParser:
+    """Incremental parser backed by the C++ state machine
+    (``shtpu_frame_parser`` in ``native/shtpu_native.cpp``) — the hot
+    ingest path. Same interface as :class:`FrameParser`."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._p = lib.shtpu_parser_new()
+        self._pending = bytearray()
+        self.decode_errors = 0
+
+    def __del__(self):
+        try:
+            self._lib.shtpu_parser_free(self._p)
+        except Exception:
+            pass
+
+    @property
+    def frames(self):
+        return self._lib.shtpu_parser_frames(self._p)
+
+    @property
+    def bytes_dropped(self):
+        return self._lib.shtpu_parser_dropped(self._p)
+
+    def feed(self, data: bytes):
+        import numpy as np
+
+        out = []
+        self._pending.extend(data)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        while self._pending:
+            arr = np.frombuffer(bytes(self._pending), np.uint8)
+            consumed = self._lib.shtpu_parser_feed(
+                self._p, arr.ctypes.data_as(u8p), arr.size
+            )
+            del self._pending[:max(consumed, 0)]
+            if self._lib.shtpu_parser_frame_ready(self._p):
+                w = self._lib.shtpu_parser_width(self._p)
+                h = self._lib.shtpu_parser_height(self._p)
+                plen = self._lib.shtpu_parser_payload_len(self._p)
+                codec = self._lib.shtpu_parser_codec(self._p)
+                payload = np.empty(plen, np.uint8)
+                self._lib.shtpu_parser_take(
+                    self._p, payload.ctypes.data_as(u8p)
+                )
+                try:
+                    out.append(
+                        _decode_payload(payload.tobytes(), codec, w, h)
+                    )
+                except Exception:
+                    self.decode_errors += 1
+            elif consumed >= arr.size or consumed <= 0:
+                break
+        return out
+
+
+def make_parser():
+    """Best parser available: C++ when the native lib loads, else Python."""
+    from steroscopic_hardware_tpu._native import get_lib
+
+    lib = get_lib()
+    return NativeFrameParser(lib) if lib is not None else FrameParser()
+
+
 class FrameParser:
     """Incremental parser: feed arbitrary byte chunks, yield frames.
 

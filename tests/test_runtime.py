@@ -204,3 +204,30 @@ def test_lzma_bad_level():
         lzma_codec.compress(b"x", 0)
     with pytest.raises(ValueError):
         lzma_codec.compress(b"x", 10)
+
+
+def test_native_parser_matches_python(rng):
+    """The C++ parser must behave identically to the Python one, including
+    resync over garbage and multi-frame chunked feeds."""
+    from steroscopic_hardware_tpu._native import get_lib
+    from steroscopic_hardware_tpu.runtime.wire import (
+        FrameParser, NativeFrameParser,
+    )
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    frames = [rng.integers(0, 256, (8, 16), dtype=np.uint8)
+              for _ in range(3)]
+    stream = (b"junk\xff" + wire.encode_frame(frames[0])
+              + b"\x00\x01" + wire.encode_frame(frames[1])
+              + wire.encode_frame(frames[2]) + b"tail")
+    for chunk in (7, 64, len(stream)):
+        py, nat = FrameParser(), NativeFrameParser(lib)
+        got_py, got_nat = [], []
+        for i in range(0, len(stream), chunk):
+            got_py.extend(py.feed(stream[i:i + chunk]))
+            got_nat.extend(nat.feed(stream[i:i + chunk]))
+        assert len(got_py) == len(got_nat) == 3
+        for a, b in zip(got_py, got_nat):
+            assert np.array_equal(a, b)
