@@ -306,7 +306,8 @@ def disparity_pallas_batch(
     return jnp.stack([out[f * stride : f * stride + H] for f in range(F)])
 
 
-def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR):
+def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
+                    Wacc):
     h = block_size // 2
     B = 2 * h + 1
     n_d = max_disparity + 1
@@ -335,8 +336,8 @@ def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR):
             rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
             bcL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
             bdL[:] = jnp.zeros((TH, Wout), jnp.int32)
-            bcR[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
-            bdR[:] = jnp.zeros((TH, Wout), jnp.int32)
+            bcR[:] = jnp.full((TH, Wacc), _BIG, jnp.int32)
+            bdR[:] = jnp.zeros((TH, Wacc), jnp.int32)
 
         @pl.when(d > 0)
         def _():
@@ -355,18 +356,33 @@ def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR):
         bcL[:] = jnp.where(betterL, costL, bcL[:])
         bdL[:] = jnp.where(betterL, d, bdL[:])
 
-        # right-referenced diagonal: costR[xr] = cost[xr + d], via a
-        # dynamic left-rotate; wrapped and out-of-image columns masked.
-        costR = pltpu.roll(cost, Wout - d, axis=1)
-        costR = jnp.where((x >= h) & (x <= W - 1 - d), costR, _BIG)
-        betterR = costR < bcR[:]
-        bcR[:] = jnp.where(betterR, costR, bcR[:])
-        bdR[:] = jnp.where(betterR, d, bdR[:])
+        # Right-referenced diagonal bcR[xr] = min_d cost_d[xr + d],
+        # accumulated in DRIFTING coordinates so every step is a cheap
+        # static shift-by-one:
+        #   A_d = min(shift_right_1(A_{d-1}), cost_d)
+        # gives A_D[j] = min_d cost_d[j - (D - d)], i.e. bcR = A_D offset
+        # by the static max_disparity (one static slice at the end).
+        # costL already carries the shared validity (d <= x-h <=> xr >= h);
+        # additionally mask the width-pad columns (x >= W), whose zero-pad
+        # costs are meaningless and would drift into valid xr slots.
+        costP = jnp.concatenate(
+            [jnp.where(x < W, costL, _BIG),
+             jnp.full((TH, Wacc - Wout), _BIG, jnp.int32)], axis=1
+        )
+        shift_c = jnp.concatenate(
+            [jnp.full((TH, 1), _BIG, jnp.int32), bcR[:, : Wacc - 1]], axis=1
+        )
+        shift_i = jnp.concatenate(
+            [jnp.zeros((TH, 1), jnp.int32), bdR[:, : Wacc - 1]], axis=1
+        )
+        takeNew = costP < shift_c
+        bcR[:] = jnp.where(takeNew, costP, shift_c)
+        bdR[:] = jnp.where(takeNew, d, shift_i)
 
         @pl.when(d == n_d - 1)
         def _():
             outL[:] = bdL[:]
-            outR[:] = bdR[:]
+            outR[:] = bdR[:, max_disparity : max_disparity + Wout]
 
     return kernel
 
@@ -405,8 +421,9 @@ def disparity_pallas_lr(
     Rbuf = jnp.zeros((Hp, Wbuf), jnp.uint8)
     Rbuf = jax.lax.dynamic_update_slice(Rbuf, right, (h, h))
 
+    Wacc = _round_up(Wout + max_disparity, 128)
     kernel = _make_lr_kernel(
-        H, W, block_size, max_disparity, TH, Wout, Wbuf, TR
+        H, W, block_size, max_disparity, TH, Wout, Wbuf, TR, Wacc
     )
     outL, outR = pl.pallas_call(
         kernel,
@@ -432,8 +449,8 @@ def disparity_pallas_lr(
             pltpu.VMEM((TR, Wbuf), jnp.int32),
             pltpu.VMEM((TH, Wout), jnp.int32),  # bcL
             pltpu.VMEM((TH, Wout), jnp.int32),  # bdL
-            pltpu.VMEM((TH, Wout), jnp.int32),  # bcR
-            pltpu.VMEM((TH, Wout), jnp.int32),  # bdR
+            pltpu.VMEM((TH, Wacc), jnp.int32),  # bcR (drifting coords)
+            pltpu.VMEM((TH, Wacc), jnp.int32),  # bdR (drifting coords)
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

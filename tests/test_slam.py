@@ -17,49 +17,27 @@ from steroscopic_hardware_tpu.models.slam import (
 )
 from steroscopic_hardware_tpu.ops import se3
 
+from steroscopic_hardware_tpu.utils.synth import (
+    SyntheticScene,
+    straight_trajectory as _trajectory,
+)
+
 CAM = StereoCamera(fx=240.0, fy=240.0, cx=160.0, cy=120.0, baseline=0.4)
 H, W = 240, 320
 
 
 def _make_world(rng, n=60):
-    pts = np.stack(
-        [
-            rng.uniform(-3.5, 3.5, n),
-            rng.uniform(-2.5, 2.5, n),
-            rng.uniform(5.0, 11.0, n),
-        ],
-        -1,
-    ).astype(np.float32)
-    patches = rng.integers(40, 250, (n, 9, 9)).astype(np.uint8)
-    return pts, patches
+    """Scene keyed off the shared synth module (seeded from rng)."""
+    scene = SyntheticScene(CAM, size=(H, W), n_landmarks=n,
+                           seed=int(rng.integers(0, 2**31)))
+    return scene.points, scene.patches
 
 
 def _render(pts_w, patches, xi, right=False):
-    R, t = se3.se3_exp(jnp.asarray(xi))
-    cam = pts_w @ np.asarray(R).T + np.asarray(t)
-    if right:
-        cam = cam - np.array([CAM.baseline, 0, 0], np.float32)
-    img = np.full((H, W), 90, np.uint8)
-    order = np.argsort(-cam[:, 2])  # far to near
-    for j in order:
-        X, Y, Z = cam[j]
-        if Z <= 0.5:
-            continue
-        u = int(round(CAM.fx * X / Z + CAM.cx))
-        v = int(round(CAM.fy * Y / Z + CAM.cy))
-        if 5 <= u < W - 5 and 5 <= v < H - 5:
-            img[v - 4 : v + 5, u - 4 : u + 5] = patches[j]
-    return img
-
-
-def _trajectory(n_frames):
-    xis = [np.zeros(6, np.float32)]
-    for i in range(1, n_frames):
-        xi = xis[-1].copy()
-        xi[:3] += np.array([0.06, 0.0, -0.12], np.float32)  # forward+right
-        xi[4] += 0.008  # slight yaw
-        xis.append(xi)
-    return xis
+    scene = SyntheticScene.__new__(SyntheticScene)
+    scene.cam, scene.H, scene.W = CAM, H, W
+    scene.points, scene.patches = pts_w, patches
+    return scene.render(xi, right=right)
 
 
 def test_stereo_vo_recovers_trajectory(rng):
