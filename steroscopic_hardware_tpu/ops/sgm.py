@@ -29,40 +29,44 @@ from steroscopic_hardware_tpu.ops.census import census_cost_volume
 _INF = jnp.float32(1e9)
 
 
-def _aggregate_dir(cost, P1, P2, axis: int, reverse: bool):
-    """Aggregate along ``axis`` (1=rows i.e. vertical path, 2=cols).
+def _aggregate_axis(cost, P1, P2, axis: int):
+    """Sum of forward + backward aggregations along ``axis`` (1 = vertical
+    paths, 2 = horizontal paths), with both directions batched into ONE
+    ``lax.scan`` (the per-step recursion is latency-bound on TPU, so
+    halving the step count nearly halves the wall time).
 
-    cost: (D, H, W) float32. Returns same-shape aggregated costs.
+    cost: (D, H, W) float32. Returns same-shape summed aggregated costs.
     """
-    # move the scan axis to the front: (S, D, rest)
     if axis == 1:
-        vol = jnp.transpose(cost, (1, 0, 2))   # (H, D, W)
+        vol = jnp.transpose(cost, (1, 0, 2))   # (S=H, D, W)
     else:
-        vol = jnp.transpose(cost, (2, 0, 1))   # (W, D, H)
-    if reverse:
-        vol = vol[::-1]
+        vol = jnp.transpose(cost, (2, 0, 1))   # (S=W, D, H)
 
-    D = vol.shape[1]
+    # stack forward and reversed sequences as a leading batch of 2
+    sc = jnp.stack([vol, vol[::-1]], axis=1)   # (S, 2, D, K)
 
     def step(prev, c):
-        # prev, c: (D, K)
-        m = prev.min(axis=0, keepdims=True)               # (1, K)
-        up = jnp.concatenate([prev[1:], jnp.full_like(prev[:1], _INF)], 0)
-        dn = jnp.concatenate([jnp.full_like(prev[:1], _INF), prev[:-1]], 0)
+        # prev, c: (2, D, K)
+        m = prev.min(axis=1, keepdims=True)
+        up = jnp.concatenate(
+            [prev[:, 1:], jnp.full_like(prev[:, :1], _INF)], 1
+        )
+        dn = jnp.concatenate(
+            [jnp.full_like(prev[:, :1], _INF), prev[:, :-1]], 1
+        )
         best = jnp.minimum(
             jnp.minimum(prev, jnp.minimum(up, dn) + P1), m + P2
         )
         out = c + best - m
         return out, out
 
-    init = vol[0]
-    _, agg = jax.lax.scan(step, init, vol[1:])
-    agg = jnp.concatenate([init[None], agg], 0)
-    if reverse:
-        agg = agg[::-1]
+    init = sc[0]
+    _, agg = jax.lax.scan(step, init, sc[1:])
+    agg = jnp.concatenate([init[None], agg], 0)  # (S, 2, D, K)
+    both = agg[:, 0] + agg[::-1, 1]              # (S, D, K)
     if axis == 1:
-        return jnp.transpose(agg, (1, 0, 2))
-    return jnp.transpose(agg, (1, 2, 0))
+        return jnp.transpose(both, (1, 0, 2))
+    return jnp.transpose(both, (1, 2, 0))
 
 
 @functools.partial(
@@ -88,10 +92,8 @@ def sgm_disparity(
     ).astype(jnp.float32)
 
     agg = (
-        _aggregate_dir(cost, P1, P2, axis=2, reverse=False)   # left->right
-        + _aggregate_dir(cost, P1, P2, axis=2, reverse=True)  # right->left
-        + _aggregate_dir(cost, P1, P2, axis=1, reverse=False) # top->down
-        + _aggregate_dir(cost, P1, P2, axis=1, reverse=True)  # bottom->up
+        _aggregate_axis(cost, P1, P2, axis=2)   # left<->right paths
+        + _aggregate_axis(cost, P1, P2, axis=1) # up<->down paths
     )
 
     d_best = jnp.argmin(agg, axis=0)
