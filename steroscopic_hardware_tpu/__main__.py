@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--cy", type=float, default=None)
     ap.add_argument("--baseline", type=float, default=0.1,
                     help="stereo baseline in meters")
+    ap.add_argument("--slam-checkpoint-dir", default=None,
+                    help="persist/resume SLAM state here")
     args = ap.parse_args(argv)
 
     log = shlog.get_logger("main")
@@ -68,7 +70,8 @@ def main(argv=None):
             cy=args.cy if args.cy is not None else 240.0,
             baseline=args.baseline,
         )
-        slam_pipeline = SlamPipeline(manager.bus, cam)
+        slam_pipeline = SlamPipeline(
+            manager.bus, cam, checkpoint_dir=args.slam_checkpoint_dir)
     ctx = AppContext(manager=manager, pipeline=pipeline,
                      slam_pipeline=slam_pipeline)
 

@@ -148,19 +148,41 @@ class SlamPipeline:
     """
 
     def __init__(self, bus: FrameBus, camera, *, left_slot="left",
-                 right_slot="right", slam_kwargs=None):
+                 right_slot="right", slam_kwargs=None,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 50):
         from steroscopic_hardware_tpu.models.slam import StereoSLAM
 
         self.bus = bus
         self.left_slot = left_slot
         self.right_slot = right_slot
-        self.slam = StereoSLAM(camera, **(slam_kwargs or {}))
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         self.log = get_logger("slam")
         self._closed = threading.Event()
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
         self.frames = 0
         self.errors = 0
+
+        # elastic recovery: resume from the newest checkpoint if present
+        self.slam = None
+        if checkpoint_dir is not None:
+            from steroscopic_hardware_tpu.utils import checkpoint as ckpt
+
+            path = ckpt.latest(checkpoint_dir)
+            if path is not None:
+                try:
+                    self.slam = StereoSLAM.load_checkpoint(
+                        path, **(slam_kwargs or {})
+                    )
+                    self.frames = self.slam.frame_idx
+                    self.log.info("resumed SLAM from %s (frame %d)",
+                                  path, self.frames)
+                except Exception as e:
+                    self.log.warning("checkpoint resume failed: %s", e)
+        if self.slam is None:
+            self.slam = StereoSLAM(camera, **(slam_kwargs or {}))
 
     def start(self):
         if self._thread is None:
@@ -193,7 +215,26 @@ class SlamPipeline:
         }
         with self._lock:
             self._snapshot = snap
+        if (self.checkpoint_dir is not None
+                and self.frames % self.checkpoint_every == 0):
+            self._save_checkpoint()
         return xi
+
+    def _save_checkpoint(self):
+        import os
+
+        from steroscopic_hardware_tpu.utils import checkpoint as ckpt
+
+        try:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            path = os.path.join(
+                self.checkpoint_dir, f"slam-{self.frames:08d}.ckpt"
+            )
+            self.slam.save_checkpoint(path)
+            ckpt.prune(self.checkpoint_dir, keep=3)
+            self.log.info("checkpoint saved %s", path)
+        except Exception as e:
+            self.log.warning("checkpoint save failed: %s", e)
 
     def _run(self):
         last_seq = 0

@@ -122,3 +122,40 @@ def test_loop_closure_fires_and_reduces_drift():
     R, t = _se3.se3_exp(jnp.asarray(slam.vo.trajectory[-1]))
     _, ti = _se3.inverse(R, t)
     assert np.linalg.norm(np.asarray(ti)) < 0.12
+
+
+def test_slam_pipeline_autocheckpoint_resume(tmp_path):
+    """SlamPipeline persists every N frames and resumes from the newest
+    checkpoint on construction (elastic recovery)."""
+    from steroscopic_hardware_tpu.runtime.bus import FrameBus
+    from steroscopic_hardware_tpu.runtime.pipeline import SlamPipeline
+    from steroscopic_hardware_tpu.utils.synth import (
+        SyntheticScene, straight_trajectory,
+    )
+
+    rng = np.random.default_rng(5)
+    scene = SyntheticScene(CAM, n_landmarks=60, seed=11)
+    xis = straight_trajectory(5)
+    kwargs = dict(block_size=7, max_disparity=32, max_keypoints=128,
+                  fast_threshold=15)
+    bus = FrameBus()
+    pipe = SlamPipeline(bus, CAM, slam_kwargs=kwargs,
+                        checkpoint_dir=str(tmp_path), checkpoint_every=2)
+    for xi in xis[:4]:
+        left, right = scene.render_pair(xi)
+        bus.publish("left", left)
+        bus.publish("right", right)
+        pipe.step()
+    assert pipe.frames == 4
+    assert ckpt.latest(str(tmp_path)) is not None
+
+    # a fresh pipeline on the same dir resumes
+    bus2 = FrameBus()
+    pipe2 = SlamPipeline(bus2, CAM, slam_kwargs=kwargs,
+                         checkpoint_dir=str(tmp_path))
+    assert pipe2.frames >= 2  # resumed at the last checkpoint boundary
+    left, right = scene.render_pair(xis[4])
+    bus2.publish("left", left)
+    bus2.publish("right", right)
+    pipe2.step()
+    assert pipe2.frames >= 3
