@@ -23,8 +23,8 @@ Bit-exact with ``ops/sad_golden.py`` / ``ops/sad_xla.py`` (tested in
 
 Memory layout (built by the jitted wrapper, all static shapes):
   Lbuf: [h zeros | W image | zeros]                 width Wbuf, height Hp
-  Rbuf: same layout; the per-step disparity shift is a dynamic
-        ``pltpu.roll`` along lanes with wrapped columns masked to zero
+  Rbuf: same layout; the disparity shift is incremental — one static
+        lane shift with zero fill per grid step
   Hp = n_tiles * TH + 2h rows (h zeros top, zeros bottom)
 with Wout = roundup(W, 128), Wbuf = Wout + 2h. Buffer column j holds image
 column j - h, so every window read is an in-bounds static slice and the
@@ -46,6 +46,23 @@ _BIG = 2**30
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _pick_row_tile(row_tile: int, H: int, W: int, h: int,
+                   budget_bytes: int = 12 << 20) -> int:
+    """Largest row tile <= row_tile whose VMEM footprint (DMA stages +
+    int32 working set + argmin accumulators + box-sum temporaries) fits
+    the budget — keeps 4K frames compiling without manual tuning."""
+    TH = min(row_tile, _round_up(max(H, 8), 8))
+    while TH > 8:
+        Wout = _round_up(W, 128)
+        Wbuf = _round_up(Wout + 2 * h, 128)
+        TR = _round_up(TH + 2 * h, 32)
+        est = TR * Wbuf * (2 * 1 + 2 * 4 + 4 * 4) + TH * Wout * 2 * 4
+        if est <= budget_bytes:
+            break
+        TH = _round_up(TH // 2, 8)
+    return TH
 
 
 def _window_sum(a, B: int, out_len: int, axis: int):
@@ -199,11 +216,10 @@ def disparity_pallas(
         raise ValueError("left/right must be identical-shape (H, W) images")
     H, W = left.shape
     h = block_size // 2
-    TH = min(row_tile, _round_up(max(H, 8), 8))
+    TH = _pick_row_tile(row_tile, H, W, h)
     n_tiles = -(-H // TH)
     # Native-tile-aligned shapes: lane dims multiples of 128, sublane loads
-    # multiples of 8, so Mosaic keeps everything in the natural layout (the
-    # dynamic rotate requires it).
+    # multiples of 8, so Mosaic keeps everything in the natural layout.
     Wout = _round_up(W, 128)
     Wbuf = _round_up(Wout + 2 * h, 128)
     # TR is a multiple of 32 so the HBM->VMEM DMA of uint8 row tiles starts
@@ -408,7 +424,7 @@ def disparity_pallas_lr(
         raise ValueError("left/right must be identical-shape (H, W) images")
     H, W = left.shape
     h = block_size // 2
-    TH = min(row_tile, _round_up(max(H, 8), 8))
+    TH = _pick_row_tile(row_tile, H, W, h)
     n_tiles = -(-H // TH)
     Wout = _round_up(W, 128)
     Wbuf = _round_up(Wout + 2 * h, 128)
