@@ -21,7 +21,6 @@ from steroscopic_hardware_tpu.models.vo import pnp_ransac, triangulate_stereo
 from steroscopic_hardware_tpu.ops import se3
 from steroscopic_hardware_tpu.ops.features import detect_and_describe
 from steroscopic_hardware_tpu.ops.matching import match
-from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_xla
 
 
 @dataclasses.dataclass
@@ -70,20 +69,46 @@ class StereoVO:
         self._key = jax.random.PRNGKey(seed)
 
     def _frame_state(self, left, right, xi_world) -> FrameState:
-        disp = disparity_raw_xla(
-            jnp.asarray(left), jnp.asarray(right),
-            block_size=self.block_size, max_disparity=self.max_disparity,
-        )
+        left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+        # Fused LR sweep: the Pallas kernel on TPU, XLA elsewhere. The
+        # right map gates triangulation on left-right consistency so
+        # occluded/mismatched keypoints never become landmarks.
+        if jax.devices()[0].platform == "tpu":
+            from steroscopic_hardware_tpu.ops.sad_pallas import (
+                disparity_pallas_lr,
+            )
+
+            dL, dR = disparity_pallas_lr(
+                left_j, right_j,
+                block_size=self.block_size,
+                max_disparity=self.max_disparity,
+            )
+        else:
+            from steroscopic_hardware_tpu.ops.sad_xla import (
+                disparity_raw_lr_xla,
+            )
+
+            dL, dR = disparity_raw_lr_xla(
+                left_j, right_j,
+                block_size=self.block_size,
+                max_disparity=self.max_disparity,
+            )
         feats = detect_and_describe(
-            jnp.asarray(left), threshold=self.fast_threshold,
+            left_j, threshold=self.fast_threshold,
             max_keypoints=self.max_keypoints,
         )
         xy = feats["xy"]
-        d_at = disp[xy[:, 1], xy[:, 0]].astype(jnp.float32)
+        d_at = dL[xy[:, 1], xy[:, 0]]
+        W = left_j.shape[-1]
+        xr = jnp.clip(xy[:, 0] - d_at, 0, W - 1)
+        dr_at = dR[xy[:, 1], xr]
+        lr_ok = jnp.abs(d_at - dr_at) <= 1
         pts, ok = triangulate_stereo(
-            xy, d_at, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            xy, d_at.astype(jnp.float32),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             self.cam.baseline,
         )
+        ok = ok & lr_ok
         return FrameState(
             xy=np.asarray(xy), desc=np.asarray(feats["desc"]),
             valid=np.asarray(feats["valid"]),
