@@ -1,0 +1,40 @@
+"""Depth colorization tests."""
+
+import numpy as np
+
+from steroscopic_hardware_tpu.ops.colorize import (
+    colorize_disparity,
+    turbo_colormap,
+)
+
+
+def test_turbo_range_and_shape(rng):
+    x = rng.uniform(0, 1, (16, 20)).astype(np.float32)
+    rgb = turbo_colormap(x)
+    assert rgb.shape == (16, 20, 3) and rgb.dtype == np.uint8
+
+
+def test_turbo_endpoints_distinct():
+    lo = turbo_colormap(np.array(0.0))
+    hi = turbo_colormap(np.array(1.0))
+    mid = turbo_colormap(np.array(0.5))
+    # ends of Turbo are dark blue / dark red; middle is bright
+    assert lo[2] > lo[0]       # low = blueish
+    assert hi[0] > hi[2]       # high = reddish
+    assert int(mid.sum()) > int(lo.sum())
+
+
+def test_colorize_invalid_black(rng):
+    d = rng.integers(0, 255, (8, 8), dtype=np.uint8)
+    d[0, 0] = 255
+    rgb = colorize_disparity(d, invalid_value=255)
+    assert (rgb[0, 0] == 0).all()
+    assert rgb.shape == (8, 8, 3)
+
+
+def test_colormap_monotone_hue_progression():
+    # increasing disparity shifts red weight up
+    d = np.arange(256, dtype=np.uint8).reshape(1, -1)
+    rgb = colorize_disparity(d)
+    red = rgb[0, :, 0].astype(int)
+    assert red[250] > red[5]
