@@ -29,9 +29,7 @@ def _poly(c, x):
 def turbo_colormap(values: np.ndarray) -> np.ndarray:
     """Map values in [0, 1] -> (..., 3) uint8 RGB via Turbo."""
     x = np.clip(np.asarray(values, np.float32), 0.0, 1.0)
-    rgb = np.stack(
-        [_poly(_R[::-1], x), _poly(_G[::-1], x), _poly(_B[::-1], x)], -1
-    )
+    rgb = np.stack([_poly(_R, x), _poly(_G, x), _poly(_B, x)], -1)
     return (np.clip(rgb, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
 
 
