@@ -108,6 +108,87 @@ def disparity_raw_xla(
 @functools.partial(
     jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
 )
+def disparity_subpixel_xla(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    d_chunk: int = 16,
+) -> jnp.ndarray:
+    """Sub-pixel disparity by parabola interpolation around the integer
+    argmin. The neighbor costs c(d*-1), c(d*+1) are tracked inside the
+    same single sweep: when the winner updates at step d, the previous
+    step's cost is its left neighbor; when step d runs with the winner at
+    d-1, cost_d is its right neighbor — no second pass over the volume.
+
+    Returns float32 disparities in pixels (un-normalized); integer-argmin
+    positions where a neighbor is invalid.
+    """
+    half = block_size // 2
+    W = left.shape[-1]
+    L = left.astype(jnp.int32)
+    R = right.astype(jnp.int32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    n_d = max_disparity + 1
+    n_chunks = -(-n_d // d_chunk)
+    Rpad = jnp.pad(R, [(0, 0)] * (R.ndim - 1) + [(max_disparity, 0)])
+
+    def step(carry, chunk_idx):
+        d0 = chunk_idx * d_chunk
+
+        def body(i, c):
+            bc, bd, c_left, c_right, prev = c
+            d = d0 + i
+            dd = jnp.minimum(d, max_disparity)
+            Rs = jax.lax.dynamic_slice_in_dim(
+                Rpad, max_disparity - dd, W, axis=-1
+            )
+            ad = jnp.abs(L - Rs)
+            ad = jnp.where(xs >= dd, ad, 0)
+            cost = _box_sum_2d(ad, half)
+            cost = jnp.where(
+                (xs >= d + half) & (d <= max_disparity), cost, _BIG
+            )
+            better = cost < bc
+            c_left = jnp.where(better, prev, c_left)
+            # a new winner invalidates any previously captured right
+            # neighbor; the NEXT step then supplies the fresh one
+            c_right = jnp.where(better, _BIG, c_right)
+            bc = jnp.where(better, cost, bc)
+            bd = jnp.where(better, d, bd)
+            c_right = jnp.where(bd == d - 1, cost, c_right)
+            return bc, bd, c_left, c_right, cost
+
+        return jax.lax.fori_loop(0, d_chunk, body, carry), None
+
+    init = (
+        jnp.full_like(L, _BIG), jnp.zeros_like(L),
+        jnp.full_like(L, _BIG), jnp.full_like(L, _BIG),
+        jnp.full_like(L, _BIG),
+    )
+    (bc, bd, c_left, c_right, _), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    c0 = c_left.astype(jnp.float32)
+    c1 = bc.astype(jnp.float32)
+    c2 = c_right.astype(jnp.float32)
+    denom = c0 - 2 * c1 + c2
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-6,
+        jnp.clip(0.5 * (c0 - c2) / jnp.where(denom == 0, 1.0, denom),
+                 -0.5, 0.5),
+        0.0,
+    )
+    usable = (c_left < _BIG) & (c_right < _BIG) & (bc < _BIG)
+    return jnp.where(
+        usable, bd.astype(jnp.float32) + delta, bd.astype(jnp.float32)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
+)
 def disparity_raw_lr_xla(
     left: jnp.ndarray,
     right: jnp.ndarray,

@@ -114,3 +114,43 @@ def test_one_sweep_lr_matches_diagonal_golden(rng):
 
     want = disparity_numpy(left, right, B, D)
     assert np.array_equal(((dL * 255) // D).astype(np.uint8), want)
+
+
+def test_subpixel_disparity(rng):
+    """Subpixel refinement: integer part matches the raw argmin; the
+    parabola offset stays within +-0.5; and neighbor costs are tracked
+    correctly (verified against brute-force window costs)."""
+    from steroscopic_hardware_tpu.ops.sad_golden import sad_window_golden
+    from steroscopic_hardware_tpu.ops.sad_xla import (
+        disparity_raw_xla,
+        disparity_subpixel_xla,
+    )
+
+    left, right = _shifted_pair(rng, 16, 40, 3)
+    B, D = 5, 12
+    h = B // 2
+    raw = np.asarray(disparity_raw_xla(left, right, block_size=B,
+                                       max_disparity=D))
+    sub = np.asarray(disparity_subpixel_xla(left, right, block_size=B,
+                                            max_disparity=D))
+    assert np.abs(sub - raw).max() <= 0.5 + 1e-6
+
+    # brute-force parabola check at a few interior pixels
+    H, W = left.shape
+    checked = 0
+    for y in range(6, 10):
+        for x in range(20, 30):
+            d = int(raw[y, x])
+            if d < 1 or d >= min(x - h, D):
+                continue
+            cs = [
+                sad_window_golden(left, right, x, y, x - dd, y, B)
+                for dd in (d - 1, d, d + 1)
+            ]
+            denom = cs[0] - 2 * cs[1] + cs[2]
+            if abs(denom) <= 1e-6:
+                continue
+            want = d + np.clip(0.5 * (cs[0] - cs[2]) / denom, -0.5, 0.5)
+            assert abs(sub[y, x] - want) < 1e-3, (y, x, sub[y, x], want)
+            checked += 1
+    assert checked >= 5
