@@ -46,6 +46,53 @@ class FrameState:
     xi_world: np.ndarray  # (6,) world->camera twist of this frame
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "max_disparity", "fast_threshold",
+                     "max_keypoints", "intr", "baseline", "use_pallas"),
+)
+def _frame_frontend(left, right, *, block_size, max_disparity,
+                    fast_threshold, max_keypoints, intr, baseline,
+                    use_pallas):
+    """Whole per-frame front-end as ONE jitted computation: fused LR
+    disparity sweep (Pallas on TPU, XLA elsewhere) -> FAST/ORB ->
+    LR-consistency-gated stereo triangulation. The right-referenced map
+    gates triangulation so occluded/mismatched keypoints never become
+    landmarks."""
+    if use_pallas:
+        from steroscopic_hardware_tpu.ops.sad_pallas import (
+            disparity_pallas_lr,
+        )
+
+        dL, dR = disparity_pallas_lr(
+            left, right, block_size=block_size,
+            max_disparity=max_disparity,
+        )
+    else:
+        from steroscopic_hardware_tpu.ops.sad_xla import (
+            disparity_raw_lr_xla,
+        )
+
+        dL, dR = disparity_raw_lr_xla(
+            left, right, block_size=block_size,
+            max_disparity=max_disparity,
+        )
+    feats = detect_and_describe(
+        left, threshold=fast_threshold, max_keypoints=max_keypoints
+    )
+    xy = feats["xy"]
+    d_at = dL[xy[:, 1], xy[:, 0]]
+    W = left.shape[-1]
+    xr = jnp.clip(xy[:, 0] - d_at, 0, W - 1)
+    lr_ok = jnp.abs(d_at - dR[xy[:, 1], xr]) <= 1
+    fx, fy, cx, cy = intr
+    pts, ok = triangulate_stereo(
+        xy, d_at.astype(jnp.float32), fx, fy, cx, cy, baseline
+    )
+    ok = ok & lr_ok & feats["valid"]
+    return xy, feats["desc"], feats["valid"], pts, ok
+
+
 class StereoVO:
     """Frame-to-frame stereo visual odometry.
 
@@ -69,51 +116,22 @@ class StereoVO:
         self._key = jax.random.PRNGKey(seed)
 
     def _frame_state(self, left, right, xi_world) -> FrameState:
-        left_j, right_j = jnp.asarray(left), jnp.asarray(right)
-        # Fused LR sweep: the Pallas kernel on TPU, XLA elsewhere. The
-        # right map gates triangulation on left-right consistency so
-        # occluded/mismatched keypoints never become landmarks.
-        if jax.devices()[0].platform == "tpu":
-            from steroscopic_hardware_tpu.ops.sad_pallas import (
-                disparity_pallas_lr,
-            )
-
-            dL, dR = disparity_pallas_lr(
-                left_j, right_j,
-                block_size=self.block_size,
-                max_disparity=self.max_disparity,
-            )
-        else:
-            from steroscopic_hardware_tpu.ops.sad_xla import (
-                disparity_raw_lr_xla,
-            )
-
-            dL, dR = disparity_raw_lr_xla(
-                left_j, right_j,
-                block_size=self.block_size,
-                max_disparity=self.max_disparity,
-            )
-        feats = detect_and_describe(
-            left_j, threshold=self.fast_threshold,
+        use_pallas = jax.devices()[0].platform == "tpu"
+        xy, desc, valid, pts, ok = _frame_frontend(
+            jnp.asarray(left), jnp.asarray(right),
+            block_size=self.block_size,
+            max_disparity=self.max_disparity,
+            fast_threshold=self.fast_threshold,
             max_keypoints=self.max_keypoints,
+            intr=self.cam.intr,
+            baseline=self.cam.baseline,
+            use_pallas=use_pallas,
         )
-        xy = feats["xy"]
-        d_at = dL[xy[:, 1], xy[:, 0]]
-        W = left_j.shape[-1]
-        xr = jnp.clip(xy[:, 0] - d_at, 0, W - 1)
-        dr_at = dR[xy[:, 1], xr]
-        lr_ok = jnp.abs(d_at - dr_at) <= 1
-        pts, ok = triangulate_stereo(
-            xy, d_at.astype(jnp.float32),
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-            self.cam.baseline,
-        )
-        ok = ok & lr_ok
         return FrameState(
-            xy=np.asarray(xy), desc=np.asarray(feats["desc"]),
-            valid=np.asarray(feats["valid"]),
+            xy=np.asarray(xy), desc=np.asarray(desc),
+            valid=np.asarray(valid),
             pts_cam=np.asarray(pts),
-            pts_ok=np.asarray(ok) & np.asarray(feats["valid"]),
+            pts_ok=np.asarray(ok),
             xi_world=np.asarray(xi_world),
         )
 
