@@ -46,6 +46,10 @@ def main(argv=None):
                     help="stereo baseline in meters")
     ap.add_argument("--slam-checkpoint-dir", default=None,
                     help="persist/resume SLAM state here")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile the current parameter bucket in the "
+                         "background at startup (hides first-frame "
+                         "compile latency)")
     args = ap.parse_args(argv)
 
     log = shlog.get_logger("main")
@@ -89,6 +93,15 @@ def main(argv=None):
 
     server = Server(ctx, host=args.host, port=args.port)
     server.start()
+
+    if args.prewarm and hasattr(matcher, "warmup"):
+        lf = manager.bus.latest("left")
+        shape = lf.data.shape if lf is not None else (480, 640)
+        p = matcher.get_params()
+        threading.Thread(
+            target=lambda: matcher.warmup(shape, [p]), daemon=True
+        ).start()
+        log.info("prewarming %s for shape %s", p.to_json(), shape)
     log.info("live view: http://%s:%d/live", args.host, server.port)
 
     stop = threading.Event()
