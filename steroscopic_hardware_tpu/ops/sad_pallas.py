@@ -323,13 +323,18 @@ def disparity_pallas_batch(
 
 
 def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
-                    Wacc):
+                    Wacc, with_costs=False):
     h = block_size // 2
     B = 2 * h + 1
     n_d = max_disparity + 1
 
-    def kernel(l_hbm, r_hbm, outL, outR, lt_u8, rt_u8, lt32, rs,
-               bcL, bdL, bcR, bdR, sems):
+    def kernel(l_hbm, r_hbm, *rest):
+        if with_costs:
+            (outL, outR, outCl, outCc, outCr, lt_u8, rt_u8, lt32, rs,
+             bcL, bdL, bcR, bdR, clL, crL, prevL, sems) = rest
+        else:
+            (outL, outR, lt_u8, rt_u8, lt32, rs,
+             bcL, bdL, bcR, bdR, sems) = rest
         t = pl.program_id(0)
         d = pl.program_id(1)
         row0 = t * TH
@@ -354,6 +359,10 @@ def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
             bdL[:] = jnp.zeros((TH, Wout), jnp.int32)
             bcR[:] = jnp.full((TH, Wacc), _BIG, jnp.int32)
             bdR[:] = jnp.zeros((TH, Wacc), jnp.int32)
+            if with_costs:
+                clL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+                crL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+                prevL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
 
         @pl.when(d > 0)
         def _():
@@ -369,8 +378,18 @@ def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
         x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
         costL = jnp.where(x >= d + h, cost, _BIG)
         betterL = costL < bcL[:]
+        if with_costs:
+            # subpixel neighbor tracking (same scheme as
+            # sad_xla.disparity_subpixel_xla): a win captures the previous
+            # step's cost as the left neighbor and invalidates the right
+            # neighbor; the step after a win supplies the right neighbor.
+            clL[:] = jnp.where(betterL, prevL[:], clL[:])
+            crL[:] = jnp.where(betterL, _BIG, crL[:])
         bcL[:] = jnp.where(betterL, costL, bcL[:])
         bdL[:] = jnp.where(betterL, d, bdL[:])
+        if with_costs:
+            crL[:] = jnp.where(bdL[:] == d - 1, costL, crL[:])
+            prevL[:] = costL
 
         # Right-referenced diagonal bcR[xr] = min_d cost_d[xr + d],
         # accumulated in DRIFTING coordinates so every step is a cheap
@@ -399,13 +418,18 @@ def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
         def _():
             outL[:] = bdL[:]
             outR[:] = bdR[:, max_disparity : max_disparity + Wout]
+            if with_costs:
+                outCl[:] = clL[:]
+                outCc[:] = bcL[:]
+                outCr[:] = crL[:]
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "max_disparity", "row_tile", "interpret"),
+    static_argnames=("block_size", "max_disparity", "row_tile",
+                     "with_costs", "interpret"),
 )
 def disparity_pallas_lr(
     left: jnp.ndarray,
@@ -414,12 +438,15 @@ def disparity_pallas_lr(
     block_size: int,
     max_disparity: int,
     row_tile: int = 128,
+    with_costs: bool = False,
     interpret: bool = False,
 ):
     """Fused left+right raw disparities in ONE kernel sweep (the TPU
     counterpart of ``sad_xla.disparity_raw_lr_xla``): the right-referenced
-    argmin rides the cost-volume diagonal via a per-step dynamic rotate.
-    Returns (dL, dR) int32 (H, W)."""
+    argmin rides the cost-volume diagonal in drifting coordinates (static
+    shifts only). Returns (dL, dR) int32 (H, W); with ``with_costs`` also
+    the left map's (c_left, c_best, c_right) argmin-neighborhood costs for
+    subpixel interpolation."""
     if left.shape != right.shape or left.ndim != 2:
         raise ValueError("left/right must be identical-shape (H, W) images")
     H, W = left.shape
@@ -439,36 +466,75 @@ def disparity_pallas_lr(
 
     Wacc = _round_up(Wout + max_disparity, 128)
     kernel = _make_lr_kernel(
-        H, W, block_size, max_disparity, TH, Wout, Wbuf, TR, Wacc
+        H, W, block_size, max_disparity, TH, Wout, Wbuf, TR, Wacc,
+        with_costs=with_costs,
     )
-    outL, outR = pl.pallas_call(
+    n_out = 5 if with_costs else 2
+    out_spec = pl.BlockSpec((TH, Wout), lambda t, d: (t, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.int32)
+    scratch = [
+        pltpu.VMEM((TR, Wbuf), jnp.uint8),
+        pltpu.VMEM((TR, Wbuf), jnp.uint8),
+        pltpu.VMEM((TR, Wbuf), jnp.int32),
+        pltpu.VMEM((TR, Wbuf), jnp.int32),
+        pltpu.VMEM((TH, Wout), jnp.int32),  # bcL
+        pltpu.VMEM((TH, Wout), jnp.int32),  # bdL
+        pltpu.VMEM((TH, Wacc), jnp.int32),  # bcR (drifting coords)
+        pltpu.VMEM((TH, Wacc), jnp.int32),  # bdR (drifting coords)
+    ]
+    if with_costs:
+        scratch += [
+            pltpu.VMEM((TH, Wout), jnp.int32),  # clL
+            pltpu.VMEM((TH, Wout), jnp.int32),  # crL
+            pltpu.VMEM((TH, Wout), jnp.int32),  # prevL
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_d),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=(
-            pl.BlockSpec((TH, Wout), lambda t, d: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, Wout), lambda t, d: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TR, Wbuf), jnp.uint8),
-            pltpu.VMEM((TR, Wbuf), jnp.uint8),
-            pltpu.VMEM((TR, Wbuf), jnp.int32),
-            pltpu.VMEM((TR, Wbuf), jnp.int32),
-            pltpu.VMEM((TH, Wout), jnp.int32),  # bcL
-            pltpu.VMEM((TH, Wout), jnp.int32),  # bdL
-            pltpu.VMEM((TH, Wacc), jnp.int32),  # bcR (drifting coords)
-            pltpu.VMEM((TH, Wacc), jnp.int32),  # bdR (drifting coords)
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=(out_spec,) * n_out,
+        out_shape=(out_shape,) * n_out,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(Lbuf, Rbuf)
-    return outL[:H, :W], outR[:H, :W]
+    return tuple(o[:H, :W] for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "max_disparity", "row_tile", "interpret"),
+)
+def disparity_pallas_subpixel(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    row_tile: int = 128,
+    interpret: bool = False,
+):
+    """Subpixel left disparity + raw right disparity on TPU: the fused LR
+    kernel tracks the argmin's neighbor costs in-sweep, then a parabola fit
+    refines the integer winner (same scheme as
+    ``sad_xla.disparity_subpixel_xla``). Returns (dL float32, dR int32)."""
+    dL, dR, c0, c1, c2 = disparity_pallas_lr(
+        left, right, block_size=block_size, max_disparity=max_disparity,
+        row_tile=row_tile, with_costs=True, interpret=interpret,
+    )
+    c0f, c1f, c2f = (c.astype(jnp.float32) for c in (c0, c1, c2))
+    denom = c0f - 2 * c1f + c2f
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-6,
+        jnp.clip(0.5 * (c0f - c2f) / jnp.where(denom == 0, 1.0, denom),
+                 -0.5, 0.5),
+        0.0,
+    )
+    usable = (c0 < _BIG) & (c2 < _BIG) & (c1 < _BIG)
+    sub = jnp.where(usable, dL.astype(jnp.float32) + delta,
+                    dL.astype(jnp.float32))
+    return sub, dR

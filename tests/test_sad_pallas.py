@@ -64,3 +64,39 @@ def test_pallas_real_crop(stereo_pair_small):
         )
     )
     assert np.array_equal(want, got)
+
+
+def test_pallas_subpixel_matches_xla(rng):
+    """TPU subpixel path (in-kernel neighbor-cost tracking) must agree
+    with the XLA subpixel implementation."""
+    from steroscopic_hardware_tpu.ops.sad_pallas import (
+        disparity_pallas_subpixel,
+    )
+    from steroscopic_hardware_tpu.ops.sad_xla import (
+        disparity_raw_lr_xla,
+        disparity_subpixel_xla,
+    )
+
+    left, right = _pair(rng, 40, 60)
+    sub_p, dR_p = disparity_pallas_subpixel(
+        left, right, block_size=7, max_disparity=16, row_tile=32,
+        interpret=True,
+    )
+    sub_x = disparity_subpixel_xla(left, right, block_size=7,
+                                   max_disparity=16)
+    _, dR_x = disparity_raw_lr_xla(left, right, block_size=7,
+                                   max_disparity=16)
+    assert np.allclose(np.asarray(sub_p), np.asarray(sub_x), atol=1e-5)
+    assert np.array_equal(np.asarray(dR_p), np.asarray(dR_x))
+
+
+def test_pallas_lr_matches_xla(rng):
+    from steroscopic_hardware_tpu.ops.sad_pallas import disparity_pallas_lr
+    from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_lr_xla
+
+    left, right = _pair(rng, 33, 31)
+    a = disparity_raw_lr_xla(left, right, block_size=15, max_disparity=16)
+    b = disparity_pallas_lr(left, right, block_size=15, max_disparity=16,
+                            row_tile=32, interpret=True)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
