@@ -49,16 +49,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_row_tile(row_tile: int, H: int, W: int, h: int,
-                   budget_bytes: int = 12 << 20) -> int:
+                   budget_bytes: int = 12 << 20,
+                   max_disparity: int = 0,
+                   lr: bool = False, with_costs: bool = False) -> int:
     """Largest row tile <= row_tile whose VMEM footprint (DMA stages +
-    int32 working set + argmin accumulators + box-sum temporaries) fits
-    the budget — keeps 4K frames compiling without manual tuning."""
+    int32 working set + argmin accumulators + box-sum temporaries + any
+    LR/with_costs extras and output blocks) fits the budget — keeps 4K
+    frames compiling without manual tuning."""
     TH = min(row_tile, _round_up(max(H, 8), 8))
     while TH > 8:
         Wout = _round_up(W, 128)
         Wbuf = _round_up(Wout + 2 * h, 128)
         TR = _round_up(TH + 2 * h, 32)
-        est = TR * Wbuf * (2 * 1 + 2 * 4 + 4 * 4) + TH * Wout * 2 * 4
+        # base: u8 stages x2, int32 lt/rs x2, ~4 live box-sum temporaries
+        est = TR * Wbuf * (2 * 1 + 2 * 4 + 4 * 4)
+        # bcL/bdL accumulators + output block(s)
+        n_small = 2 + 1
+        if lr:
+            Wacc = _round_up(Wout + max_disparity, 128)
+            est += 2 * TH * Wacc * 4          # bcR/bdR drifting accs
+            n_small += 1                      # second output
+        if with_costs:
+            n_small += 3 + 3                  # clL/crL/prevL + 3 outputs
+        est += n_small * TH * Wout * 4
         if est <= budget_bytes:
             break
         TH = _round_up(TH // 2, 8)
@@ -451,7 +464,8 @@ def disparity_pallas_lr(
         raise ValueError("left/right must be identical-shape (H, W) images")
     H, W = left.shape
     h = block_size // 2
-    TH = _pick_row_tile(row_tile, H, W, h)
+    TH = _pick_row_tile(row_tile, H, W, h, max_disparity=max_disparity,
+                        lr=True, with_costs=with_costs)
     n_tiles = -(-H // TH)
     Wout = _round_up(W, 128)
     Wbuf = _round_up(Wout + 2 * h, 128)
@@ -522,19 +536,10 @@ def disparity_pallas_subpixel(
     kernel tracks the argmin's neighbor costs in-sweep, then a parabola fit
     refines the integer winner (same scheme as
     ``sad_xla.disparity_subpixel_xla``). Returns (dL float32, dR int32)."""
+    from steroscopic_hardware_tpu.ops.sad_xla import parabola_refine
+
     dL, dR, c0, c1, c2 = disparity_pallas_lr(
         left, right, block_size=block_size, max_disparity=max_disparity,
         row_tile=row_tile, with_costs=True, interpret=interpret,
     )
-    c0f, c1f, c2f = (c.astype(jnp.float32) for c in (c0, c1, c2))
-    denom = c0f - 2 * c1f + c2f
-    delta = jnp.where(
-        jnp.abs(denom) > 1e-6,
-        jnp.clip(0.5 * (c0f - c2f) / jnp.where(denom == 0, 1.0, denom),
-                 -0.5, 0.5),
-        0.0,
-    )
-    usable = (c0 < _BIG) & (c2 < _BIG) & (c1 < _BIG)
-    sub = jnp.where(usable, dL.astype(jnp.float32) + delta,
-                    dL.astype(jnp.float32))
-    return sub, dR
+    return parabola_refine(c0, c1, c2, dL), dR

@@ -170,8 +170,15 @@ def disparity_subpixel_xla(
     (bc, bd, c_left, c_right, _), _ = jax.lax.scan(
         step, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
+    return parabola_refine(c_left, bc, c_right, bd)
+
+
+def parabola_refine(c_left, c_best, c_right, best_d):
+    """Equiangular parabola subpixel refinement around an integer argmin;
+    falls back to the integer position when a neighbor cost is invalid
+    (_BIG). Shared by the XLA and Pallas subpixel paths."""
     c0 = c_left.astype(jnp.float32)
-    c1 = bc.astype(jnp.float32)
+    c1 = c_best.astype(jnp.float32)
     c2 = c_right.astype(jnp.float32)
     denom = c0 - 2 * c1 + c2
     delta = jnp.where(
@@ -180,9 +187,10 @@ def disparity_subpixel_xla(
                  -0.5, 0.5),
         0.0,
     )
-    usable = (c_left < _BIG) & (c_right < _BIG) & (bc < _BIG)
+    usable = (c_left < _BIG) & (c_right < _BIG) & (c_best < _BIG)
     return jnp.where(
-        usable, bd.astype(jnp.float32) + delta, bd.astype(jnp.float32)
+        usable, best_d.astype(jnp.float32) + delta,
+        best_d.astype(jnp.float32),
     )
 
 

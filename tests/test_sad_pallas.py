@@ -66,9 +66,20 @@ def test_pallas_real_crop(stereo_pair_small):
     assert np.array_equal(want, got)
 
 
-def test_pallas_subpixel_matches_xla(rng):
+@pytest.mark.parametrize(
+    "h,w,block,maxd",
+    [
+        (40, 60, 7, 16),
+        (20, 26, 3, 16),   # winners at d=0 for unshifted texture
+        (33, 31, 31, 16),  # max block, heavy borders
+        (8, 8, 7, 256),    # maxD >> W: most candidates invalid
+        (48, 130, 9, 48),  # multiple tiles
+    ],
+)
+def test_pallas_subpixel_matches_xla(rng, h, w, block, maxd):
     """TPU subpixel path (in-kernel neighbor-cost tracking) must agree
-    with the XLA subpixel implementation."""
+    with the XLA subpixel implementation, incl. winner-at-d=0 /
+    winner-at-maxD / heavy-border edge cases."""
     from steroscopic_hardware_tpu.ops.sad_pallas import (
         disparity_pallas_subpixel,
     )
@@ -77,17 +88,23 @@ def test_pallas_subpixel_matches_xla(rng):
         disparity_subpixel_xla,
     )
 
-    left, right = _pair(rng, 40, 60)
-    sub_p, dR_p = disparity_pallas_subpixel(
-        left, right, block_size=7, max_disparity=16, row_tile=32,
-        interpret=True,
-    )
-    sub_x = disparity_subpixel_xla(left, right, block_size=7,
-                                   max_disparity=16)
-    _, dR_x = disparity_raw_lr_xla(left, right, block_size=7,
-                                   max_disparity=16)
-    assert np.allclose(np.asarray(sub_p), np.asarray(sub_x), atol=1e-5)
-    assert np.array_equal(np.asarray(dR_p), np.asarray(dR_x))
+    for structured in (True, False):
+        if structured:
+            left, right = _pair(rng, h, w)
+        else:
+            left = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            right = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        sub_p, dR_p = disparity_pallas_subpixel(
+            left, right, block_size=block, max_disparity=maxd,
+            row_tile=32, interpret=True,
+        )
+        sub_x = disparity_subpixel_xla(left, right, block_size=block,
+                                       max_disparity=maxd)
+        _, dR_x = disparity_raw_lr_xla(left, right, block_size=block,
+                                       max_disparity=maxd)
+        assert np.allclose(np.asarray(sub_p), np.asarray(sub_x),
+                           atol=1e-5)
+        assert np.array_equal(np.asarray(dR_p), np.asarray(dR_x))
 
 
 def test_pallas_lr_matches_xla(rng):
