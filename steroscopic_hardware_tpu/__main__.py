@@ -99,7 +99,8 @@ def main(argv=None):
         shape = lf.data.shape if lf is not None else (480, 640)
         p = matcher.get_params()
         threading.Thread(
-            target=lambda: matcher.warmup(shape, [p]), daemon=True
+            target=lambda: matcher.warmup(shape, [p], lr=args.lr_check),
+            daemon=True,
         ).start()
         log.info("prewarming %s for shape %s", p.to_json(), shape)
     log.info("live view: http://%s:%d/live", args.host, server.port)

@@ -48,8 +48,9 @@ class BlockMatcher:
       params: initial :class:`Parameters` (defaults match the reference:
         block 16, maxDisparity 64, ``pkg/despair/params.go:14-17``).
       backend: "pallas" (TPU fused kernel), "xla" (portable), or "auto".
-      lr_threshold: if not None, apply the left-right consistency check
-        with this disparity tolerance.
+      lr_threshold: disparity tolerance used by :meth:`compute_checked`
+        (defaults to 1 when left unset). :meth:`compute` never applies
+        the LR check; call :meth:`compute_checked` for the filtered map.
     """
 
     params: Parameters = dataclasses.field(default_factory=Parameters)
@@ -114,12 +115,13 @@ class BlockMatcher:
         return np.asarray(disp), np.asarray(valid)
 
     # -- compile-bucket management ------------------------------------------
-    def warmup(self, shape, params_list=None) -> int:
+    def warmup(self, shape, params_list=None, lr: bool = False) -> int:
         """Pre-compile executables for the given image shape.
 
         Without ``params_list`` warms the full HTTP-API envelope
         (15 block sizes x 16 disparities, ``cmd/handlers/params.go:37,51``).
-        Returns the number of buckets compiled.
+        With ``lr`` also compiles the fused LR path used by
+        :meth:`compute_checked`. Returns the number of buckets compiled.
         """
         if params_list is None:
             params_list = [
@@ -134,6 +136,13 @@ class BlockMatcher:
                 dummy, dummy,
                 block_size=p.block_size, max_disparity=p.max_disparity,
             )
+            if lr:
+                saved = self.store.get()
+                self.store.set(p)
+                try:
+                    self.compute_checked(dummy, dummy)
+                finally:
+                    self.store.set(saved)
             n += 1
         return n
 

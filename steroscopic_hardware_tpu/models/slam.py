@@ -177,13 +177,12 @@ class StereoVO:
         return xi_world
 
     def positions(self) -> np.ndarray:
-        """Camera centers in world coordinates (T^-1 translation)."""
-        out = []
-        for xi in self.trajectory:
-            R, t = se3.se3_exp(jnp.asarray(xi))
-            Ri, ti = se3.inverse(R, t)
-            out.append(np.asarray(ti))
-        return np.stack(out)
+        """Camera centers in world coordinates (T^-1 translation), computed
+        for the whole trajectory in one batched dispatch."""
+        xis = jnp.asarray(np.stack(self.trajectory))
+        R, t = se3.se3_exp(xis)
+        _, ti = se3.inverse(R, t)
+        return np.asarray(ti)
 
 
 def _relative_twist(xi_i: np.ndarray, xi_j: np.ndarray) -> np.ndarray:
@@ -373,9 +372,26 @@ class StereoSLAM:
             for field in ("xy", "desc", "valid", "pts_cam", "pts_ok",
                           "xi_world"):
                 arrays[f"kf{i}_{field}"] = getattr(kf, field)
+        # loop-closure / pose-graph state
+        for i, (kf, traj_idx) in enumerate(self.kf_history):
+            for field in ("xy", "desc", "valid", "pts_cam", "pts_ok",
+                          "xi_world"):
+                arrays[f"hist{i}_{field}"] = getattr(kf, field)
+        arrays["hist_traj_idx"] = np.asarray(
+            [ti for _, ti in self.kf_history], np.int32
+        )
+        if self.graph_edges:
+            arrays["graph_edges_ij"] = np.asarray(
+                [(i, j) for i, j, _ in self.graph_edges], np.int32
+            )
+            arrays["graph_edges_meas"] = np.stack(
+                [m for _, _, m in self.graph_edges]
+            ).astype(np.float32)
         meta = {
             "frame_idx": self.frame_idx,
             "n_keyframes": len(self.keyframes),
+            "n_kf_history": len(self.kf_history),
+            "loops_closed": self.loops_closed,
             "ba_runs": self.ba_runs,
             "camera": dataclasses.asdict(self.cam),
             "window": self.window,
@@ -394,8 +410,26 @@ class StereoSLAM:
                    **kwargs)
         slam.frame_idx = meta["frame_idx"]
         slam.ba_runs = meta["ba_runs"]
+        slam.loops_closed = meta.get("loops_closed", 0)
         slam.vo.trajectory = list(arrays["trajectory"])
-        slam.vo.n_inliers = list(arrays["n_inliers"])
+        slam.vo.n_inliers = [int(v) for v in arrays["n_inliers"]]
+        if "graph_edges_ij" in arrays and len(arrays["graph_edges_ij"]):
+            slam.graph_edges = [
+                (int(i), int(j), m)
+                for (i, j), m in zip(arrays["graph_edges_ij"],
+                                     arrays["graph_edges_meas"])
+            ]
+        for i in range(meta.get("n_kf_history", 0)):
+            kf = FrameState(
+                xy=arrays[f"hist{i}_xy"], desc=arrays[f"hist{i}_desc"],
+                valid=arrays[f"hist{i}_valid"],
+                pts_cam=arrays[f"hist{i}_pts_cam"],
+                pts_ok=arrays[f"hist{i}_pts_ok"],
+                xi_world=arrays[f"hist{i}_xi_world"],
+            )
+            slam.kf_history.append(
+                (kf, int(arrays["hist_traj_idx"][i]))
+            )
         for i in range(meta["n_keyframes"]):
             kf = FrameState(
                 xy=arrays[f"kf{i}_xy"], desc=arrays[f"kf{i}_desc"],

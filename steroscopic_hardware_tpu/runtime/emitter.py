@@ -64,20 +64,29 @@ class CameraEmitter:
 
         with conn:
             try:
-                start = conn.recv(2)
+                start = b""
+                while len(start) < 2:  # tolerate split TCP delivery
+                    chunk = conn.recv(2 - len(start))
+                    if not chunk:
+                        return
+                    start += chunk
                 if start != wire.START_SEQ:
                     return
                 conn.sendall(wire.ACK)
                 conn.setblocking(False)
                 n = 0
                 period = 1.0 / self.fps
+                ctrl = b""  # rolling control-byte buffer (split-safe)
                 while not self._closed.is_set():
                     if self.max_frames is not None and n >= self.max_frames:
                         break
                     # non-blocking check for the stop sequence
                     try:
                         data = conn.recv(2)
-                        if wire.END_SEQ in data or data == b"":
+                        if data == b"":
+                            break
+                        ctrl = (ctrl + data)[-4:]
+                        if wire.END_SEQ in ctrl:
                             break
                     except BlockingIOError:
                         pass

@@ -37,6 +37,7 @@ class DepthPipeline:
         self._closed = threading.Event()
         self._thread: threading.Thread | None = None
         self._times = collections.deque(maxlen=100)
+        self._times_lock = threading.Lock()
         self.frames = 0
         self.errors = 0
         self._busy_since: float | None = None
@@ -74,7 +75,8 @@ class DepthPipeline:
                 depth = self.matcher.compute(left, right)
         finally:
             self._busy_since = None
-        self._times.append(time.time() - t0)
+        with self._times_lock:
+            self._times.append(time.time() - t0)
         self.frames += 1
         self.bus.publish(self.out_slot, depth, source="DepthPipeline")
         if self.colorize:
@@ -116,7 +118,8 @@ class DepthPipeline:
         return "running" if self.frames else "waiting for frames"
 
     def metrics(self) -> dict:
-        times = list(self._times)
+        with self._times_lock:
+            times = list(self._times)
         if not times:
             return {"frames": self.frames, "errors": self.errors,
                     "state": self._state()}
@@ -200,7 +203,13 @@ class SlamPipeline:
         rf = self.bus.latest(self.right_slot)
         if lf is None or rf is None:
             return None
-        xi = self.slam.process(lf.data, rf.data)
+        left, right = lf.data, rf.data
+        if left.shape != right.shape:
+            # mismatched feeds: crop to the common size like DepthPipeline
+            h = min(left.shape[0], right.shape[0])
+            w = min(left.shape[1], right.shape[1])
+            left, right = left[:h, :w], right[:h, :w]
+        xi = self.slam.process(left, right)
         self.frames += 1
         # refresh the cached snapshot under the lock so /slam never blocks
         # behind a long compute (e.g. a first-kernel compile)

@@ -122,6 +122,7 @@ class AppContext:
         self.slam_pipeline = slam_pipeline
         self.log = shlog.get_logger("server")
         self.started = time.time()
+        self.closing = threading.Event()
 
 
 def _make_handler(ctx: AppContext):
@@ -181,6 +182,18 @@ def _make_handler(ctx: AppContext):
         # -- GET ------------------------------------------------------------
         def do_GET(self):
             path = urllib.parse.urlparse(self.path).path
+            try:
+                self._do_get(path)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            except Exception as e:
+                ctx.log.warning("GET handler error on %s: %s", path, e)
+                try:
+                    self._json({"error": str(e)}, code=500)
+                except Exception:
+                    pass
+
+        def _do_get(self, path):
             if path == "/":
                 self._send(302, b"", extra={"Location": "/live"})
             elif path == "/live":
@@ -234,7 +247,7 @@ def _make_handler(ctx: AppContext):
             self.end_headers()
             last = 0
             try:
-                while True:
+                while not ctx.closing.is_set():
                     f = ctx.bus.wait_next(name, last, timeout=2.0)
                     if f is None:
                         continue
@@ -348,6 +361,7 @@ class Server:
         return self
 
     def shutdown(self):
+        self.ctx.closing.set()
         self.httpd.shutdown()
         self.httpd.server_close()
         self.ctx.pipeline.close()
