@@ -96,3 +96,51 @@ def test_sgm_matcher_in_pipeline_protocol(rng):
     assert out.dtype == np.uint8 and out.shape == left.shape
     raw = m.compute_raw(left, right)
     assert np.abs(raw[8:-8, 16:48] - 4).mean() < 0.5
+
+
+def test_sgm_pallas_aggregation_matches_xla(rng):
+    """The grid-stepped Pallas aggregation must match the lax.scan path
+    exactly (same op order per element, integer costs in float32)."""
+    import jax.numpy as jnp
+    from steroscopic_hardware_tpu.ops.sgm import (
+        _aggregate_axis,
+        _aggregate_axis_pallas,
+    )
+
+    cost = rng.integers(0, 25, (17, 40, 72)).astype(np.float32)
+    c = jnp.asarray(cost)
+    for axis in (1, 2):
+        want = np.asarray(_aggregate_axis(c, 1.0, 8.0, axis=axis))
+        got = np.asarray(
+            _aggregate_axis_pallas(c, 1.0, 8.0, axis=axis, interpret=True)
+        )
+        assert np.array_equal(got, want), f"axis {axis} mismatch"
+
+
+def test_sgm_pallas_backend_end_to_end(rng):
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)
+    a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, backend="xla"))
+    b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, backend="pallas",
+                                 interpret=True))
+    assert np.array_equal(a, b)
+
+
+def test_sgm_pallas_fractional_penalties(rng):
+    """Non-integer P1/P2 exercise the SMEM scalar path; results must agree
+    to float tolerance."""
+    import jax.numpy as jnp
+    from steroscopic_hardware_tpu.ops.sgm import (
+        _aggregate_axis,
+        _aggregate_axis_pallas,
+    )
+
+    cost = rng.integers(0, 25, (9, 24, 40)).astype(np.float32)
+    c = jnp.asarray(cost)
+    want = np.asarray(_aggregate_axis(c, 0.7, 5.3, axis=2))
+    got = np.asarray(
+        _aggregate_axis_pallas(c, 0.7, 5.3, axis=2, interpret=True)
+    )
+    assert np.allclose(got, want, atol=1e-4)
