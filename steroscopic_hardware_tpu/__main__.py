@@ -38,6 +38,10 @@ def main(argv=None):
     )
     ap.add_argument("--slam", action="store_true",
                     help="run live stereo SLAM; trajectory at GET /slam")
+    ap.add_argument("--calib", default=None,
+                    help="stereo calibration JSON (io/calib.py format); "
+                         "rectifies+undistorts raw camera feeds before "
+                         "matching/SLAM and supplies the rig intrinsics")
     ap.add_argument("--fx", type=float, default=500.0)
     ap.add_argument("--fy", type=float, default=500.0)
     ap.add_argument("--cx", type=float, default=None)
@@ -54,6 +58,13 @@ def main(argv=None):
 
     log = shlog.get_logger("main")
     manager = CameraManager()
+    rectifier = None
+    if args.calib:
+        from steroscopic_hardware_tpu.io.calib import load_calibration
+
+        rectifier = load_calibration(args.calib)
+        log.info("calibrated rig: rectifying to %s, baseline %.4f m",
+                 rectifier.K_new[:2, 2], rectifier.baseline)
     if args.backend == "sgm":
         from steroscopic_hardware_tpu.models.blockmatch import SGMMatcher
 
@@ -62,20 +73,30 @@ def main(argv=None):
         from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
 
         matcher = BlockMatcher(backend=args.backend)
-    pipeline = DepthPipeline(manager.bus, matcher, lr_check=args.lr_check)
+    pipeline = DepthPipeline(manager.bus, matcher, lr_check=args.lr_check,
+                             rectifier=rectifier)
     slam_pipeline = None
     if args.slam:
         from steroscopic_hardware_tpu.models.slam import StereoCamera
         from steroscopic_hardware_tpu.runtime.pipeline import SlamPipeline
 
-        cam = StereoCamera(
-            fx=args.fx, fy=args.fy,
-            cx=args.cx if args.cx is not None else 320.0,
-            cy=args.cy if args.cy is not None else 240.0,
-            baseline=args.baseline,
-        )
+        if rectifier is not None:
+            # the rectified rig defines the intrinsics: shared K_new,
+            # pure-horizontal baseline
+            K = rectifier.K_new
+            cam = StereoCamera(fx=float(K[0, 0]), fy=float(K[1, 1]),
+                               cx=float(K[0, 2]), cy=float(K[1, 2]),
+                               baseline=rectifier.baseline)
+        else:
+            cam = StereoCamera(
+                fx=args.fx, fy=args.fy,
+                cx=args.cx if args.cx is not None else 320.0,
+                cy=args.cy if args.cy is not None else 240.0,
+                baseline=args.baseline,
+            )
         slam_pipeline = SlamPipeline(
-            manager.bus, cam, checkpoint_dir=args.slam_checkpoint_dir)
+            manager.bus, cam, checkpoint_dir=args.slam_checkpoint_dir,
+            rectifier=rectifier)
     ctx = AppContext(manager=manager, pipeline=pipeline,
                      slam_pipeline=slam_pipeline)
 

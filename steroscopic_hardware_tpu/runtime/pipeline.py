@@ -25,7 +25,8 @@ from steroscopic_hardware_tpu.runtime.logger import get_logger
 class DepthPipeline:
     def __init__(self, bus: FrameBus, matcher: BlockMatcher | None = None,
                  left_slot="left", right_slot="right", out_slot="out",
-                 lr_check: bool = False, colorize: bool = True):
+                 lr_check: bool = False, colorize: bool = True,
+                 rectifier=None):
         self.bus = bus
         self.matcher = matcher or BlockMatcher()
         self.left_slot = left_slot
@@ -33,6 +34,9 @@ class DepthPipeline:
         self.out_slot = out_slot
         self.lr_check = lr_check
         self.colorize = colorize
+        # optional StereoRectifier: lets raw (unrectified, distorted)
+        # cameras feed the engine directly (--calib in __main__)
+        self.rectifier = rectifier
         self.log = get_logger("pipeline")
         self._closed = threading.Event()
         self._thread: threading.Thread | None = None
@@ -67,6 +71,8 @@ class DepthPipeline:
             h = min(left.shape[0], right.shape[0])
             w = min(left.shape[1], right.shape[1])
             left, right = left[:h, :w], right[:h, :w]
+        if self.rectifier is not None:
+            left, right = self.rectifier(left, right)
         self._busy_since = t0
         try:
             if self.lr_check and hasattr(self.matcher, "compute_checked"):
@@ -153,12 +159,13 @@ class SlamPipeline:
     def __init__(self, bus: FrameBus, camera, *, left_slot="left",
                  right_slot="right", slam_kwargs=None,
                  checkpoint_dir: str | None = None,
-                 checkpoint_every: int = 50):
+                 checkpoint_every: int = 50, rectifier=None):
         from steroscopic_hardware_tpu.models.slam import StereoSLAM
 
         self.bus = bus
         self.left_slot = left_slot
         self.right_slot = right_slot
+        self.rectifier = rectifier
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.log = get_logger("slam")
@@ -209,6 +216,8 @@ class SlamPipeline:
             h = min(left.shape[0], right.shape[0])
             w = min(left.shape[1], right.shape[1])
             left, right = left[:h, :w], right[:h, :w]
+        if self.rectifier is not None:
+            left, right = self.rectifier(left, right)
         xi = self.slam.process(left, right)
         self.frames += 1
         # refresh the cached snapshot under the lock so /slam never blocks
