@@ -50,6 +50,9 @@ def main(argv=None):
                     help="stereo baseline in meters")
     ap.add_argument("--slam-checkpoint-dir", default=None,
                     help="persist/resume SLAM state here")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable SLAM loop closure (BoW-indexed place "
+                         "recognition + pose-graph re-optimization)")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile the current parameter bucket in the "
                          "background at startup (hides first-frame "
@@ -96,7 +99,8 @@ def main(argv=None):
             )
         slam_pipeline = SlamPipeline(
             manager.bus, cam, checkpoint_dir=args.slam_checkpoint_dir,
-            rectifier=rectifier)
+            rectifier=rectifier,
+            slam_kwargs={"loop_closure": args.loop_closure})
     ctx = AppContext(manager=manager, pipeline=pipeline,
                      slam_pipeline=slam_pipeline)
 

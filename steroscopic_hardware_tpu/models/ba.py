@@ -1,4 +1,5 @@
-"""Sliding-window bundle adjustment: Gauss-Newton with Schur complement.
+"""Sliding-window bundle adjustment: Levenberg-Marquardt with Schur
+complement reduction.
 
 Dense windowed BA over M keyframe poses and N landmarks with a (M, N)
 visibility mask — the TPU-friendly layout (static shapes; masked
@@ -90,19 +91,38 @@ def ba_solve(
     fix_first_pose: bool = True,
     axis_name: str | None = None,
 ):
-    """Run Gauss-Newton BA. Returns (BAProblem with updated xi/points,
-    per-iteration masked mean reprojection error (iters,)).
+    """Run Levenberg-Marquardt BA. Returns (BAProblem with updated
+    xi/points, per-iteration masked mean reprojection error (iters,),
+    evaluated at each iteration's starting state).
+
+    ``damping`` is the initial LM lambda; each iteration evaluates the
+    candidate step and only accepts it if the masked mean error drops
+    (accept -> lambda/2, reject -> lambda*4). Pure Gauss-Newton with a
+    fixed tiny damping measurably diverges on real windows (errors
+    exploding 0.4 -> 4e8 px on a synthetic out-and-back sequence) when a
+    step overshoots near-degenerate landmark blocks; monotone acceptance
+    makes the solver safe to run blind inside the SLAM loop.
 
     When ``axis_name`` is given the landmark axis N is assumed sharded over
     that mesh axis: the reduced camera system S, b and the cost are summed
     with ``psum`` so every shard solves the identical (replicated) pose
     update while landmark updates stay local — the distributed Schur
-    pattern.
+    pattern. The accept decision uses the psum'd cost, so all shards
+    agree.
     """
     M = prob.xi.shape[0]
 
+    def masked_mean_err(xi, points):
+        p = BAProblem(xi, points, prob.uv, prob.mask, prob.intr)
+        e = jnp.sqrt((residuals(p) ** 2).sum(-1) + 1e-12)
+        num, den = (prob.mask * e).sum(), prob.mask.sum()
+        if axis_name is not None:
+            num = jax.lax.psum(num, axis_name)
+            den = jax.lax.psum(den, axis_name)
+        return num / jnp.maximum(den, 1e-6)
+
     def gn_step(state, _):
-        xi, points = state
+        xi, points, lam = state
         p = BAProblem(xi, points, prob.uv, prob.mask, prob.intr)
         r = residuals(p)                                   # (M, N, 2)
         err = jnp.sqrt((r**2).sum(-1) + 1e-12)             # (M, N)
@@ -119,7 +139,7 @@ def ba_solve(
         bp = -jnp.einsum("mnri,mn,mnr->mi", Jp, w, r)      # (M, 6)
         bl = -jnp.einsum("mnri,mn,mnr->ni", Jl, w, r)      # (N, 3)
 
-        Hll_d = Hll + damping * jnp.eye(3)
+        Hll_d = Hll + lam * jnp.eye(3)
         Hll_inv = jnp.linalg.inv(Hll_d)                    # (N, 3, 3)
 
         # Reduced camera system (sum over landmarks -> psum when sharded).
@@ -133,7 +153,7 @@ def ba_solve(
 
         S = -S_red
         S = S.at[jnp.arange(M), jnp.arange(M)].add(Hpp)
-        S = S + damping * jnp.eye(6)[None, None] * jnp.eye(M)[..., None, None]
+        S = S + lam * jnp.eye(6)[None, None] * jnp.eye(M)[..., None, None]
 
         Sm = S.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
         bm = b_red.reshape(6 * M)
@@ -166,9 +186,23 @@ def ba_solve(
         else:
             num, den = (prob.mask * err).sum(), wsum
         mean_err = num / jnp.maximum(den, 1e-6)
-        return (xi_new, points_new), mean_err
 
-    (xi, points), errs = jax.lax.scan(
-        gn_step, (prob.xi, prob.points), None, length=iters
+        # LM acceptance: take the step only if the cost drops
+        cand_err = masked_mean_err(xi_new, points_new)
+        accept = cand_err < mean_err
+        xi_out = jnp.where(accept, xi_new, xi)
+        points_out = jnp.where(accept, points_new, points)
+        lam_out = jnp.where(
+            accept,
+            jnp.maximum(lam * 0.5, 1e-6),
+            jnp.minimum(lam * 4.0, 1e4),
+        )
+        return (xi_out, points_out, lam_out), mean_err
+
+    (xi, points, _), errs = jax.lax.scan(
+        gn_step,
+        (prob.xi, prob.points, jnp.float32(damping)),
+        None,
+        length=iters,
     )
     return BAProblem(xi, points, prob.uv, prob.mask, prob.intr), errs

@@ -207,7 +207,9 @@ class StereoSLAM:
     def __init__(self, camera: StereoCamera, *, window: int = 4,
                  kf_every: int = 2, ba_iters: int = 6,
                  loop_closure: bool = False, loop_min_matches: int = 30,
-                 loop_gap: int = 4, **vo_kwargs):
+                 loop_gap: int = 4, loop_index: str = "bow",
+                 loop_top_k: int = 3, loop_min_score: float = 0.05,
+                 **vo_kwargs):
         self.vo = StereoVO(camera, **vo_kwargs)
         self.cam = camera
         self.window = window
@@ -216,6 +218,19 @@ class StereoSLAM:
         self.loop_closure = loop_closure
         self.loop_min_matches = loop_min_matches
         self.loop_gap = loop_gap
+        if loop_index not in ("bow", "exhaustive"):
+            raise ValueError(f"unknown loop_index {loop_index!r}")
+        # "bow": O(1) dispatches per keyframe — one-matvec retrieval over
+        # the whole history, match+PnP verification on top-k only.
+        # "exhaustive": match against every past keyframe (O(N)).
+        self.loop_index = loop_index
+        self.loop_top_k = loop_top_k
+        self.loop_min_score = loop_min_score
+        self._bow = None
+        if loop_closure and loop_index == "bow":
+            from steroscopic_hardware_tpu.ops.bow import BowIndex
+
+            self._bow = BowIndex()
         self.keyframes: list[FrameState] = []
         # full keyframe history for loop closure + pose-graph nodes:
         # (FrameState, trajectory index)
@@ -243,19 +258,34 @@ class StereoSLAM:
                     (len(self.kf_history) - 1, len(self.kf_history), rel)
                 )
             self.kf_history.append((kf, len(self.vo.trajectory) - 1))
+            if self._bow is not None:
+                self._bow.add(kf.desc, kf.valid)
             if self.loop_closure:
                 self._try_loop_closure()
         self.frame_idx += 1
         return self.vo.trajectory[-1]
 
     def _try_loop_closure(self):
-        """Match the newest keyframe against old (out-of-window)
-        keyframes; on a strong match, estimate the relative pose by PnP,
-        add a pose-graph edge, and re-optimize all keyframe poses."""
+        """Find a revisited place among old (out-of-window) keyframes —
+        BoW-retrieved top-k by default, exhaustive otherwise; on a strong
+        descriptor match, estimate the relative pose by PnP, add a
+        pose-graph edge, and re-optimize all keyframe poses."""
         cur, _ = self.kf_history[-1]
         cur_idx = len(self.kf_history) - 1
+        if self._bow is not None:
+            # retrieval: one matvec over the whole history, then full
+            # verification on the top-k candidates only
+            candidates = [
+                j for j, _score in self._bow.query(
+                    cur.desc, cur.valid, top_k=self.loop_top_k,
+                    min_score=self.loop_min_score,
+                    before=cur_idx - self.loop_gap,
+                )
+            ]
+        else:
+            candidates = range(0, cur_idx - self.loop_gap)
         best = None
-        for j in range(0, cur_idx - self.loop_gap):
+        for j in candidates:
             old, _ = self.kf_history[j]
             idx, good = match(
                 jnp.asarray(old.desc), jnp.asarray(cur.desc),
@@ -430,6 +460,10 @@ class StereoSLAM:
             slam.kf_history.append(
                 (kf, int(arrays["hist_traj_idx"][i]))
             )
+            # BoW vectors are deterministic given the vocabulary seed, so
+            # the retrieval index is rebuilt rather than checkpointed
+            if slam._bow is not None:
+                slam._bow.add(kf.desc, kf.valid)
         for i in range(meta["n_keyframes"]):
             kf = FrameState(
                 xy=arrays[f"kf{i}_xy"], desc=arrays[f"kf{i}_desc"],

@@ -1,0 +1,105 @@
+"""Binary bag-of-words place recognition index (loop-closure retrieval).
+
+The exhaustive loop-closure search matches the newest keyframe against
+every past keyframe — O(N) jitted matcher dispatches per keyframe, which
+dominates once trajectories get long (ROADMAP item; the reference has no
+SLAM at all, this is beyond-parity scope). This module provides the
+classic DBoW-style two-stage scheme, built TPU-first:
+
+* a fixed random binary vocabulary (no training pass needed — random
+  256-bit words are near-orthogonal in Hamming space, the same property
+  LSH relies on);
+* ``bow_vector``: quantize a keyframe's ORB descriptors to their nearest
+  vocabulary word and L2-normalize the term-frequency histogram. The
+  K x V Hamming table is ONE matmul on the MXU
+  (ham = |d| + |w| - 2 d.w for binary vectors), not K x V scalar loops;
+* ``BowIndex``: append-only database of keyframe vectors; a query scores
+  the WHOLE history with one (N, V) @ (V,) matvec (cosine similarity of
+  unit vectors) — one dispatch regardless of N. The database lives in a
+  capacity-doubling padded buffer so jit re-specializes O(log N) times.
+
+Full descriptor matching + PnP verification then runs only on the top-k
+retrieved candidates (see ``models/slam.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bow_vector(desc, valid, words):
+    """L2-normalized term-frequency vector.
+
+    desc: (K, 256) uint8 in {0,1}; valid: (K,) bool; words: (V, 256)
+    float32 in {0,1}. Returns (V,) float32 unit vector (zeros if no valid
+    descriptors).
+    """
+    d = desc.astype(jnp.float32)                       # (K, 256)
+    dots = d @ words.T                                 # (K, V) on the MXU
+    ham = d.sum(1, keepdims=True) + words.sum(1)[None, :] - 2.0 * dots
+    w_idx = jnp.argmin(ham, axis=1)                    # (K,)
+    onehot = jax.nn.one_hot(w_idx, words.shape[0], dtype=jnp.float32)
+    tf = (onehot * valid.astype(jnp.float32)[:, None]).sum(0)
+    return tf / jnp.maximum(jnp.linalg.norm(tf), 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _scores(db, q, n):
+    """Cosine similarity of q against the first ``n`` rows of the padded
+    database: one matvec for the whole history."""
+    s = db @ q                                         # (C,)
+    live = jnp.arange(db.shape[0]) < n
+    return jnp.where(live, s, -jnp.inf)
+
+
+class BowIndex:
+    """Append-only place-recognition database over keyframe descriptors."""
+
+    def __init__(self, n_words: int = 256, desc_bits: int = 256,
+                 seed: int = 0, capacity: int = 64):
+        key = jax.random.PRNGKey(seed)
+        self.words = jax.random.bernoulli(
+            key, 0.5, (n_words, desc_bits)
+        ).astype(jnp.float32)
+        self.n_words = n_words
+        self._db = np.zeros((capacity, n_words), np.float32)
+        self.n = 0
+
+    def vector(self, desc, valid) -> np.ndarray:
+        return np.asarray(
+            _bow_vector(jnp.asarray(desc), jnp.asarray(valid), self.words)
+        )
+
+    def add(self, desc, valid) -> int:
+        """Quantize and append one keyframe; returns its index."""
+        vec = self.vector(desc, valid)
+        if self.n == len(self._db):
+            grown = np.zeros((2 * len(self._db), self.n_words), np.float32)
+            grown[: self.n] = self._db
+            self._db = grown
+        self._db[self.n] = vec
+        self.n += 1
+        return self.n - 1
+
+    def query(self, desc, valid, *, top_k: int = 3,
+              min_score: float = 0.0, before: int | None = None):
+        """Top-k most similar stored keyframes.
+
+        ``before`` restricts candidates to indices < before (loop-gap
+        temporal exclusion). Returns a list of (index, score), best first.
+        """
+        n = self.n if before is None else min(before, self.n)
+        if n <= 0:
+            return []
+        q = _bow_vector(jnp.asarray(desc), jnp.asarray(valid), self.words)
+        s = np.asarray(
+            _scores(jnp.asarray(self._db), q, n)
+        )[:n]
+        order = np.argsort(-s)[:top_k]
+        return [(int(i), float(s[i])) for i in order
+                if s[i] >= min_score]

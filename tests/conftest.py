@@ -38,6 +38,9 @@ def stereo_pair_small():
     return left, right
 
 
-@pytest.fixture(scope="session")
+# function-scoped: every test gets the same fresh deterministic stream,
+# so adding/removing/reordering tests can never change another test's
+# random draws (session scope made thresholds order-dependent)
+@pytest.fixture()
 def rng():
     return np.random.default_rng(1234)

@@ -90,11 +90,13 @@ def test_slam_with_ba_and_resume(tmp_path, rng):
     assert ate < 0.15, f"ATE {ate}"
 
 
-def test_loop_closure_fires_and_reduces_drift():
+@pytest.mark.parametrize("loop_index", ["bow", "exhaustive"])
+def test_loop_closure_fires_and_reduces_drift(loop_index):
     """Out-and-back trajectory: the final pose revisits the start; loop
     closure must fire and pull the drifted estimate toward the loop
-    constraint. (Own deterministic rng: the shared session fixture's
-    state depends on test order.)"""
+    constraint — both via BoW retrieval (default, O(1) dispatches) and
+    the exhaustive matcher. (Own deterministic rng: the shared session
+    fixture's state depends on test order.)"""
     rng = np.random.default_rng(42)
     pts, patches = _make_world(rng)
     # out-and-back along x
@@ -109,6 +111,7 @@ def test_loop_closure_fires_and_reduces_drift():
 
     slam = StereoSLAM(CAM, window=3, kf_every=1, ba_iters=3,
                       loop_closure=True, loop_min_matches=25, loop_gap=4,
+                      loop_index=loop_index,
                       block_size=7, max_disparity=32, max_keypoints=128,
                       fast_threshold=15)
     for xi in xis:
