@@ -53,6 +53,18 @@ def main(argv=None):
     ap.add_argument("--loop-closure", action="store_true",
                     help="enable SLAM loop closure (BoW-indexed place "
                          "recognition + pose-graph re-optimization)")
+    ap.add_argument("--auth-token", default=os.environ.get("SHTPU_TOKEN"),
+                    help="require this bearer token on every endpoint "
+                         "except /checkhealth (header 'Authorization: "
+                         "Bearer <t>' or ?token=<t>); defaults to "
+                         "$SHTPU_TOKEN")
+    ap.add_argument("--tls-cert", default=None,
+                    help="serve HTTPS with this PEM certificate chain")
+    ap.add_argument("--tls-key", default=None,
+                    help="PEM private key for --tls-cert")
+    ap.add_argument("--max-stream-clients", type=int, default=32,
+                    help="cap on concurrent /mjpeg push streams "
+                         "(503 beyond)")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile the current parameter bucket in the "
                          "background at startup (hides first-frame "
@@ -102,7 +114,9 @@ def main(argv=None):
             rectifier=rectifier,
             slam_kwargs={"loop_closure": args.loop_closure})
     ctx = AppContext(manager=manager, pipeline=pipeline,
-                     slam_pipeline=slam_pipeline)
+                     slam_pipeline=slam_pipeline,
+                     auth_token=args.auth_token,
+                     max_stream_clients=args.max_stream_clients)
 
     left = args.left or os.path.join(DEFAULT_TESTDATA, "L_00001.png")
     right = args.right or os.path.join(DEFAULT_TESTDATA, "R_00001.png")
@@ -116,7 +130,8 @@ def main(argv=None):
     else:
         log.warning("boot images missing; configure cameras via the API")
 
-    server = Server(ctx, host=args.host, port=args.port)
+    server = Server(ctx, host=args.host, port=args.port,
+                    tls_cert=args.tls_cert, tls_key=args.tls_key)
     server.start()
 
     if args.prewarm and hasattr(matcher, "warmup"):

@@ -24,6 +24,12 @@ Route parity with ``cmd/routes.go:25-112`` / ``cmd/handlers``:
 Implemented on stdlib ThreadingHTTPServer: no third-party web framework,
 graceful shutdown, streaming-friendly (unbounded write timeouts like
 root.go:36's 999 s WriteTimeout).
+
+Hardening beyond the reference (which binds localhost with no auth):
+optional bearer-token auth (header or ?token= for <img> tags; only
+/checkhealth stays open), TLS via --tls-cert/--tls-key, a cap on
+concurrent /mjpeg push streams (503 beyond, count in /metrics), and a
+shared per-(slot, seq) PNG encode cache so N viewers cost one encode.
 """
 
 from __future__ import annotations
@@ -62,10 +68,19 @@ label{display:block;margin-top:.8rem}
 </style></head><body>
 <h2>stereo depth — live</h2>
 <div class="row">
-<figure><img id="left" src="/mjpeg/left"><figcaption>left</figcaption></figure>
-<figure><img id="right" src="/mjpeg/right"><figcaption>right</figcaption></figure>
-<figure><img id="out" src="/mjpeg/depth"><figcaption>depth</figcaption></figure>
+<figure><img id="left"><figcaption>left</figcaption></figure>
+<figure><img id="right"><figcaption>right</figcaption></figure>
+<figure><img id="out"><figcaption>depth</figcaption></figure>
 </div>
+<script>
+// propagate ?token= into every stream/API URL when auth is enabled
+const TOK=new URLSearchParams(location.search).get('token');
+const Q=TOK?'?token='+encodeURIComponent(TOK):'';
+const api=p=>p+Q;
+document.getElementById('left').src=api('/mjpeg/left');
+document.getElementById('right').src=api('/mjpeg/right');
+document.getElementById('out').src=api('/mjpeg/depth');
+</script>
 <form id="params">
 <label>block size <input type="range" name="blockSize" min="3" max="31"
  step="2" value="7"><span id="bsv">7</span></label>
@@ -91,10 +106,10 @@ label{display:block;margin-top:.8rem}
 <script>
 document.getElementById('upload').addEventListener('submit',async e=>{
  e.preventDefault();
- await fetch('/upload',{method:'POST',body:new FormData(e.target)});});
+ await fetch(api('/upload'),{method:'POST',body:new FormData(e.target)});});
 document.getElementById('configure').addEventListener('submit',async e=>{
  e.preventDefault();const f=new FormData(e.target);
- await fetch('/'+f.get('side')+'/configure',{method:'POST',
+ await fetch(api('/'+f.get('side')+'/configure'),{method:'POST',
   body:new URLSearchParams(f)});});
 </script>
 <script>
@@ -102,9 +117,9 @@ const form=document.getElementById('params');let t;
 form.addEventListener('input',e=>{
  document.getElementById('bsv').textContent=form.blockSize.value;
  document.getElementById('mdv').textContent=form.maxDisparity.value;
- clearTimeout(t);t=setTimeout(()=>fetch('/update-params',{method:'POST',
+ clearTimeout(t);t=setTimeout(()=>fetch(api('/update-params'),{method:'POST',
   body:new URLSearchParams(new FormData(form))}),300);});
-setInterval(async()=>{const r=await fetch('/metrics');
+setInterval(async()=>{const r=await fetch(api('/metrics'));
  document.getElementById('metrics').textContent=
   JSON.stringify(await r.json(),null,1);},1000);
 </script></body></html>"""
@@ -115,7 +130,8 @@ class AppContext:
 
     def __init__(self, manager: CameraManager | None = None,
                  pipeline: DepthPipeline | None = None,
-                 slam_pipeline=None):
+                 slam_pipeline=None, auth_token: str | None = None,
+                 max_stream_clients: int = 32):
         self.manager = manager or CameraManager()
         self.bus: FrameBus = self.manager.bus
         self.pipeline = pipeline or DepthPipeline(self.bus)
@@ -123,6 +139,27 @@ class AppContext:
         self.log = shlog.get_logger("server")
         self.started = time.time()
         self.closing = threading.Event()
+        # serving hardening: optional bearer token (everything but
+        # /checkhealth requires it) and a cap on concurrent push streams
+        self.auth_token = auth_token
+        self.max_stream_clients = max_stream_clients
+        self.stream_clients = 0
+        self._stream_lock = threading.Lock()
+        # shared PNG encode cache: N mjpeg clients on the same slot cost
+        # ONE encode per frame, not N (backpressure fix)
+        self._png_cache: dict[str, tuple[int, bytes]] = {}
+        self._png_lock = threading.Lock()
+
+    def encode_frame(self, name: str, frame) -> bytes:
+        """PNG for a bus frame, deduplicated by (slot, seq)."""
+        with self._png_lock:
+            hit = self._png_cache.get(name)
+            if hit is not None and hit[0] == frame.seq:
+                return hit[1]
+        png = write_png(None, frame.data, compress_level=1)
+        with self._png_lock:
+            self._png_cache[name] = (frame.seq, png)
+        return png
 
 
 def _make_handler(ctx: AppContext):
@@ -179,10 +216,26 @@ def _make_handler(ctx: AppContext):
                     fields[name] = body
             return fields
 
+        def _authorized(self, path: str) -> bool:
+            """Bearer-token check (header or ?token= for <img> tags);
+            /checkhealth stays open for liveness probes."""
+            if ctx.auth_token is None or path == "/checkhealth":
+                return True
+            hdr = self.headers.get("Authorization", "")
+            if hdr == f"Bearer {ctx.auth_token}":
+                return True
+            q = urllib.parse.parse_qs(
+                urllib.parse.urlparse(self.path).query
+            )
+            return q.get("token", [None])[0] == ctx.auth_token
+
         # -- GET ------------------------------------------------------------
         def do_GET(self):
             path = urllib.parse.urlparse(self.path).path
             try:
+                if not self._authorized(path):
+                    self._json({"error": "unauthorized"}, code=401)
+                    return
                 self._do_get(path)
             except (BrokenPipeError, ConnectionResetError):
                 pass
@@ -211,6 +264,7 @@ def _make_handler(ctx: AppContext):
                 self._json({
                     "pipeline": ctx.pipeline.metrics(),
                     "sources": ctx.manager.status(),
+                    "stream_clients": ctx.stream_clients,
                     "uptime_s": round(time.time() - ctx.started, 1),
                 })
             elif path == "/slam":
@@ -234,11 +288,21 @@ def _make_handler(ctx: AppContext):
             if f is None:
                 self._send(404, f"no frames on {name!r}".encode())
                 return
-            self._send(200, write_png(None, f.data, compress_level=1),
-                       "image/png")
+            self._send(200, ctx.encode_frame(name, f), "image/png")
 
         def _stream_live(self, name: str):
-            """multipart/x-mixed-replace push stream of PNG frames."""
+            """multipart/x-mixed-replace push stream of PNG frames.
+
+            Concurrent viewers of the same slot share one PNG encode per
+            frame (ctx.encode_frame), and the total number of push
+            streams is capped — the overload answer is an immediate 503,
+            not a slow stream for everyone."""
+            with ctx._stream_lock:
+                if ctx.stream_clients >= ctx.max_stream_clients:
+                    self._json({"error": "too many stream clients"},
+                               code=503)
+                    return
+                ctx.stream_clients += 1
             self.send_response(200)
             self.send_header(
                 "Content-Type",
@@ -252,7 +316,7 @@ def _make_handler(ctx: AppContext):
                     if f is None:
                         continue
                     last = f.seq
-                    png = write_png(None, f.data, compress_level=1)
+                    png = ctx.encode_frame(name, f)
                     self.wfile.write(
                         b"--frame\r\nContent-Type: image/png\r\n"
                         + f"Content-Length: {len(png)}\r\n\r\n".encode()
@@ -260,12 +324,17 @@ def _make_handler(ctx: AppContext):
                     )
             except (BrokenPipeError, ConnectionResetError, OSError):
                 return
+            finally:
+                with ctx._stream_lock:
+                    ctx.stream_clients -= 1
 
         # -- POST -----------------------------------------------------------
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
             try:
-                if path == "/update-params":
+                if not self._authorized(path):
+                    self._json({"error": "unauthorized"}, code=401)
+                elif path == "/update-params":
                     self._update_params()
                 elif path in ("/left/configure", "/right/configure"):
                     self._configure(path.split("/")[1])
@@ -340,12 +409,22 @@ class Server:
     shutdown closing sources and pipeline (cmd/root.go:195-215)."""
 
     def __init__(self, ctx: AppContext | None = None,
-                 host="127.0.0.1", port=0):
+                 host="127.0.0.1", port=0,
+                 tls_cert: str | None = None, tls_key: str | None = None):
         self.ctx = ctx or AppContext()
         self.httpd = ThreadingHTTPServer(
             (host, port), _make_handler(self.ctx)
         )
         self.httpd.daemon_threads = True
+        if tls_cert is not None:
+            import ssl
+
+            sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            sctx.load_cert_chain(tls_cert, tls_key)
+            self.httpd.socket = sctx.wrap_socket(
+                self.httpd.socket, server_side=True
+            )
+        self.tls = tls_cert is not None
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
