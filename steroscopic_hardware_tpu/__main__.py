@@ -62,6 +62,12 @@ def main(argv=None):
                     help="serve HTTPS with this PEM certificate chain")
     ap.add_argument("--tls-key", default=None,
                     help="PEM private key for --tls-cert")
+    ap.add_argument("--rig", action="append", default=[],
+                    metavar="NAME[=LEFT.png,RIGHT.png]",
+                    help="serve an extra stereo rig (repeatable): slots "
+                         "NAME.left/NAME.right -> NAME.out/NAME.depth, "
+                         "own pipeline + parameters (update-params with "
+                         "rig=NAME); optional boot images")
     ap.add_argument("--max-stream-clients", type=int, default=32,
                     help="cap on concurrent /mjpeg push streams "
                          "(503 beyond)")
@@ -80,14 +86,18 @@ def main(argv=None):
         rectifier = load_calibration(args.calib)
         log.info("calibrated rig: rectifying to %s, baseline %.4f m",
                  rectifier.K_new[:2, 2], rectifier.baseline)
-    if args.backend == "sgm":
-        from steroscopic_hardware_tpu.models.blockmatch import SGMMatcher
+    def make_matcher():
+        if args.backend == "sgm":
+            from steroscopic_hardware_tpu.models.blockmatch import (
+                SGMMatcher,
+            )
 
-        matcher = SGMMatcher()
-    else:
+            return SGMMatcher()
         from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
 
-        matcher = BlockMatcher(backend=args.backend)
+        return BlockMatcher(backend=args.backend)
+
+    matcher = make_matcher()
     pipeline = DepthPipeline(manager.bus, matcher, lr_check=args.lr_check,
                              rectifier=rectifier)
     slam_pipeline = None
@@ -113,10 +123,30 @@ def main(argv=None):
             manager.bus, cam, checkpoint_dir=args.slam_checkpoint_dir,
             rectifier=rectifier,
             slam_kwargs={"loop_closure": args.loop_closure})
+
+    rigs = {}
+    for spec in args.rig:
+        name, _, boot = spec.partition("=")
+        if not name or "." in name:
+            raise SystemExit(f"bad --rig name {name!r}")
+        rigs[name] = DepthPipeline(
+            manager.bus, make_matcher(), lr_check=args.lr_check,
+            rectifier=rectifier,
+            left_slot=f"{name}.left", right_slot=f"{name}.right",
+            out_slot=f"{name}.out", depth_slot=f"{name}.depth",
+        )
+        if boot:
+            lpath, _, rpath = boot.partition(",")
+            manager.set_source(f"{name}.left", StaticSource(
+                manager.bus, f"{name}.left", lpath, fps=args.fps))
+            manager.set_source(f"{name}.right", StaticSource(
+                manager.bus, f"{name}.right", rpath, fps=args.fps))
+
     ctx = AppContext(manager=manager, pipeline=pipeline,
                      slam_pipeline=slam_pipeline,
                      auth_token=args.auth_token,
-                     max_stream_clients=args.max_stream_clients)
+                     max_stream_clients=args.max_stream_clients,
+                     rigs=rigs)
 
     left = args.left or os.path.join(DEFAULT_TESTDATA, "L_00001.png")
     right = args.right or os.path.join(DEFAULT_TESTDATA, "R_00001.png")

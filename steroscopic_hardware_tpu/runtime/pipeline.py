@@ -26,12 +26,13 @@ class DepthPipeline:
     def __init__(self, bus: FrameBus, matcher: BlockMatcher | None = None,
                  left_slot="left", right_slot="right", out_slot="out",
                  lr_check: bool = False, colorize: bool = True,
-                 rectifier=None):
+                 rectifier=None, depth_slot="depth"):
         self.bus = bus
         self.matcher = matcher or BlockMatcher()
         self.left_slot = left_slot
         self.right_slot = right_slot
         self.out_slot = out_slot
+        self.depth_slot = depth_slot
         self.lr_check = lr_check
         self.colorize = colorize
         # optional StereoRectifier: lets raw (unrectified, distorted)
@@ -91,7 +92,8 @@ class DepthPipeline:
             )
 
             self.bus.publish(
-                "depth", colorize_disparity(depth), source="DepthPipeline"
+                self.depth_slot, colorize_disparity(depth),
+                source="DepthPipeline",
             )
         return depth
 

@@ -54,7 +54,22 @@ from steroscopic_hardware_tpu.utils.params import (
     validate_params,
 )
 
+import re
+
 MAX_UPLOAD = 32 << 20  # handlers/upload.go:21
+
+# camera slot: left/right, optionally rig-prefixed (rig1.left)
+_SLOT_RE = re.compile(r"^(?:([A-Za-z0-9_-]+)\.)?(left|right)$")
+
+
+def split_slot(slot: str) -> tuple[str, str]:
+    """-> (rig, side); raises ParamValidationError on bad names."""
+    m = _SLOT_RE.match(slot)
+    if not m:
+        raise ParamValidationError(
+            f"bad camera slot {slot!r} (want left, right, or <rig>.left)"
+        )
+    return m.group(1) or "", m.group(2)
 
 _LIVE_HTML = """<!doctype html>
 <html><head><title>stereo tpu — live</title>
@@ -131,11 +146,16 @@ class AppContext:
     def __init__(self, manager: CameraManager | None = None,
                  pipeline: DepthPipeline | None = None,
                  slam_pipeline=None, auth_token: str | None = None,
-                 max_stream_clients: int = 32):
+                 max_stream_clients: int = 32,
+                 rigs: dict[str, DepthPipeline] | None = None):
         self.manager = manager or CameraManager()
         self.bus: FrameBus = self.manager.bus
         self.pipeline = pipeline or DepthPipeline(self.bus)
         self.slam_pipeline = slam_pipeline
+        # multi-rig routing: named extra pipelines over prefixed slots
+        # (<rig>.left / <rig>.right -> <rig>.out / <rig>.depth); the
+        # unnamed default rig is self.pipeline on left/right/out/depth
+        self.rigs = dict(rigs or {})
         self.log = shlog.get_logger("server")
         self.started = time.time()
         self.closing = threading.Event()
@@ -149,6 +169,12 @@ class AppContext:
         # ONE encode per frame, not N (backpressure fix)
         self._png_cache: dict[str, tuple[int, bytes]] = {}
         self._png_lock = threading.Lock()
+
+    def pipeline_for(self, rig: str) -> DepthPipeline | None:
+        """'' or 'default' -> the unnamed rig; else a named rig."""
+        if rig in ("", "default"):
+            return self.pipeline
+        return self.rigs.get(rig)
 
     def encode_frame(self, name: str, frame) -> bytes:
         """PNG for a bus frame, deduplicated by (slot, seq)."""
@@ -261,12 +287,16 @@ def _make_handler(ctx: AppContext):
             elif path == "/params":
                 self._json(ctx.pipeline.matcher.get_params().to_json())
             elif path == "/metrics":
-                self._json({
+                m = {
                     "pipeline": ctx.pipeline.metrics(),
                     "sources": ctx.manager.status(),
                     "stream_clients": ctx.stream_clients,
                     "uptime_s": round(time.time() - ctx.started, 1),
-                })
+                }
+                if ctx.rigs:
+                    m["rigs"] = {name: p.metrics()
+                                 for name, p in ctx.rigs.items()}
+                self._json(m)
             elif path == "/slam":
                 if ctx.slam_pipeline is None:
                     self._json({"enabled": False}, code=404)
@@ -332,12 +362,13 @@ def _make_handler(ctx: AppContext):
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
             try:
+                parts = path.strip("/").split("/")
                 if not self._authorized(path):
                     self._json({"error": "unauthorized"}, code=401)
                 elif path == "/update-params":
                     self._update_params()
-                elif path in ("/left/configure", "/right/configure"):
-                    self._configure(path.split("/")[1])
+                elif len(parts) == 2 and parts[1] == "configure":
+                    self._configure(parts[0])
                 elif path == "/upload":
                     self._upload()
                 else:
@@ -355,19 +386,28 @@ def _make_handler(ctx: AppContext):
 
         def _update_params(self):
             form = self._form()
+            rig = form.get("rig", "")
+            if isinstance(rig, bytes):
+                rig = rig.decode()
+            pipe = ctx.pipeline_for(rig)
+            if pipe is None:
+                raise ParamValidationError(f"unknown rig {rig!r}")
             try:
                 block = int(form.get("blockSize", 0))
                 disp = int(form.get("maxDisparity", 0))
             except (TypeError, ValueError) as e:
                 raise ParamValidationError(f"non-integer parameter: {e}")
             params = validate_params(block, disp)
-            ctx.pipeline.matcher.set_params(params)
-            ctx.log.info("params updated %s", params.to_json())
+            pipe.matcher.set_params(params)
+            ctx.log.info("params updated %s (rig %r)",
+                         params.to_json(), rig)
             self._json(params.to_json())
 
-        def _configure(self, side: str):
+        def _configure(self, slot: str):
             # configure.go:26-120 parity: port + compression codec form
-            # (baud rate has no TCP analog; codec replaces "compression")
+            # (baud rate has no TCP analog; codec replaces "compression");
+            # slot may be rig-prefixed (rig1.left)
+            split_slot(slot)  # validates
             form = self._form()
             host = form.get("host", "127.0.0.1")
             port = int(form.get("port", 0))
@@ -378,9 +418,9 @@ def _make_handler(ctx: AppContext):
                 raise ParamValidationError("port required")
             if codec not in (0, 1, 2):
                 raise ParamValidationError(f"bad codec {codec}")
-            src = TcpSource(ctx.bus, side, host, port)
-            ctx.manager.set_source(side, src)
-            self._json({"configured": side, "host": host, "port": port,
+            src = TcpSource(ctx.bus, slot, host, port)
+            ctx.manager.set_source(slot, src)
+            self._json({"configured": slot, "host": host, "port": port,
                         "codec": codec})
 
         def _upload(self):
@@ -388,8 +428,7 @@ def _make_handler(ctx: AppContext):
             side = form.get("type", b"left")
             if isinstance(side, bytes):
                 side = side.decode()
-            if side not in ("left", "right"):
-                raise ParamValidationError(f"bad camera type {side!r}")
+            split_slot(side)  # validates plain or rig-prefixed slots
             blob = form.get("image")
             if not blob:
                 raise ParamValidationError("missing image field")
@@ -430,6 +469,8 @@ class Server:
 
     def start(self):
         self.ctx.pipeline.start()
+        for pipe in self.ctx.rigs.values():
+            pipe.start()
         if self.ctx.slam_pipeline is not None:
             self.ctx.slam_pipeline.start()
         self._thread = threading.Thread(
@@ -444,6 +485,8 @@ class Server:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.ctx.pipeline.close()
+        for pipe in self.ctx.rigs.values():
+            pipe.close()
         if self.ctx.slam_pipeline is not None:
             self.ctx.slam_pipeline.close()
         self.ctx.manager.close_all()

@@ -140,3 +140,66 @@ def test_shared_encode_cache():
     b = srv.ctx.encode_frame("left", f)
     assert a is b  # second call is the cache hit
     srv.shutdown()
+
+
+def test_multi_rig_routing():
+    """A named rig runs its own pipeline over prefixed slots with its own
+    parameters; the default rig is untouched."""
+    from steroscopic_hardware_tpu.runtime.server import split_slot
+
+    assert split_slot("left") == ("", "left")
+    assert split_slot("rig1.right") == ("rig1", "right")
+    from steroscopic_hardware_tpu.utils.params import ParamValidationError
+    for bad in ("up", "rig1.mid", ".left", "a b.left"):
+        with pytest.raises(ParamValidationError):
+            split_slot(bad)
+
+    mgr = _mgr()
+    mgr.set_source("cam2.left", SyntheticSource(
+        mgr.bus, "cam2.left", shape=(24, 48), fps=50.0, seed=5))
+    mgr.set_source("cam2.right", SyntheticSource(
+        mgr.bus, "cam2.right", shape=(24, 48), fps=50.0, shift=2, seed=5))
+    pipe = DepthPipeline(mgr.bus, BlockMatcher(backend="xla"))
+    rig = DepthPipeline(mgr.bus, BlockMatcher(backend="xla"),
+                        left_slot="cam2.left", right_slot="cam2.right",
+                        out_slot="cam2.out", depth_slot="cam2.depth")
+    srv = Server(AppContext(manager=mgr, pipeline=pipe,
+                            rigs={"cam2": rig})).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        t0 = time.time()
+        while (mgr.bus.latest("cam2.out") is None
+               or mgr.bus.latest("out") is None) and time.time() - t0 < 20:
+            time.sleep(0.05)
+        # both rigs stream independently
+        assert _get(base + "/stream/out")[0] == 200
+        code, body = _get(base + "/stream/cam2.out")
+        assert code == 200 and body[:4] == b"\x89PNG"
+        assert _get(base + "/stream/cam2.depth")[0] == 200
+        # per-rig parameter update
+        req = urllib.request.Request(
+            base + "/update-params",
+            data=b"blockSize=9&maxDisparity=32&rig=cam2", method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.status == 200
+        assert rig.matcher.get_params().block_size == 9
+        assert pipe.matcher.get_params().block_size != 9
+        # unknown rig -> 400
+        req = urllib.request.Request(
+            base + "/update-params",
+            data=b"blockSize=9&maxDisparity=32&rig=nope", method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=5) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400
+        # /metrics reports the rig
+        code, body = _get(base + "/metrics")
+        assert "cam2" in json.loads(body).get("rigs", {})
+    finally:
+        srv.shutdown()
