@@ -65,3 +65,30 @@ def census_cost_volume(left, right, *, max_disparity: int) -> jnp.ndarray:
         return jnp.where(xs >= d, c, jnp.uint8(24))
 
     return jax.vmap(one)(jnp.arange(max_disparity + 1))
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity",))
+def census_cost_volume_T(left, right, *, max_disparity: int) -> jnp.ndarray:
+    """Transposed-frame cost volume: (D, W, H) uint8 with
+    ``out[d, x, y] == census_cost_volume(...)[d, y, x]`` exactly.
+
+    Built from transposed images so the disparity shift runs along the
+    SUBLANE axis instead of the lane axis — the layout the TPU horizontal
+    SGM path wants. Census codes of a transposed image are the transposed
+    codes up to a fixed bit permutation (the 5x5 offset set is symmetric
+    under (dy, dx) swap); the permutation is identical for both images, so
+    XOR + popcount Hamming costs are unchanged. The H x W uint8 image
+    transpose is ~0.1% the size of transposing the cost volume.
+    """
+    cl = census5x5(left.T)
+    cr = census5x5(right.T)
+    W = left.shape[-1]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (W, left.shape[-2]), 0)
+    crp = jnp.pad(cr, [(max_disparity, 0), (0, 0)])
+
+    def one(d):
+        sh = jax.lax.dynamic_slice_in_dim(crp, max_disparity - d, W, axis=0)
+        c = popcount32(cl ^ sh).astype(jnp.uint8)
+        return jnp.where(xs >= d, c, jnp.uint8(24))
+
+    return jax.vmap(one)(jnp.arange(max_disparity + 1))

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from steroscopic_hardware_tpu.ops.census import census_cost_volume
+from steroscopic_hardware_tpu.ops.census import (
+    census_cost_volume,
+    census_cost_volume_T,
+)
 
 _INF = jnp.float32(1e9)
 
@@ -175,6 +178,60 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False):
     return jnp.transpose(both, (1, 2, 0))
 
 
+def _transpose_add_pallas(aT, b, interpret: bool = False):
+    """``transpose(aT, (0, 2, 1)) + b`` as a Pallas TPU kernel.
+
+    aT: (D, B, A) float32, b: (D, A, B) float32 -> (D, A, B).
+
+    The lane-moving transpose is the one operation XLA handles
+    pathologically on v5e (a standalone (D, H, W)->(D, W, H) relayout of a
+    64x480x640 volume measures ~2.6 s) and in-kernel ``jnp.swapaxes``
+    miscompiles on this toolchain. The MXU, however, transposes for free:
+    per 128x128 d-slice tile, X^T = dot_general(X, I) contracting the
+    first axes (out[i, j] = sum_k X[k, i] * I[k, j] = X[j, i]) — exact in
+    float32, since each output element is one x*1 product plus exact
+    zeros (precision=HIGHEST keeps the operand from bf16 truncation).
+    The vertical-path volume ``b`` rides the same grid so the sum costs
+    no extra HBM pass.
+    """
+    D, B, A = aT.shape
+    assert b.shape == (D, A, B), (aT.shape, b.shape)
+    TD, TA, TB = 8, 128, 128
+    Dp = _round_up(D, TD)
+    Ap = _round_up(A, TA)
+    Bp = _round_up(B, TB)
+    aTp = jnp.pad(aT, ((0, Dp - D), (0, Bp - B), (0, Ap - A)))
+    bp = jnp.pad(b, ((0, Dp - D), (0, Ap - A), (0, Bp - B)))
+
+    def kernel(aT_ref, b_ref, o_ref):
+        ir = jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
+        eye = (ir == ic).astype(jnp.float32)
+        for t in range(TD):
+            X = aT_ref[t]                      # (TB, TA)
+            o_ref[t] = b_ref[t] + jax.lax.dot_general(
+                X, eye, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Dp // TD, Ap // TA, Bp // TB),
+        in_specs=[
+            pl.BlockSpec((TD, TB, TA), lambda d, i, j: (d, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TD, TA, TB), lambda d, i, j: (d, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TD, TA, TB), lambda d, i, j: (d, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Dp, Ap, Bp), jnp.float32),
+        interpret=interpret,
+    )(aTp, bp)
+    return out[:D, :A, :B]
+
+
 def _default_sgm_backend() -> str:
     try:
         platform = jax.devices()[0].platform
@@ -247,16 +304,24 @@ def _sgm_impl(
     ).astype(jnp.float32)
 
     if backend == "pallas":
-        # Horizontal paths via lax.scan (its dynamic-slice over the last
-        # axis avoids the lane-moving (2,0,1) transpose), vertical paths
-        # via the Pallas kernel. The barrier keeps XLA from fusing the
-        # scan output into the gather epilogue — that fusion miscompiles
-        # on TPU (see sgm_disparity docstring).
-        agg = (
-            _aggregate_axis(cost, P1, P2, axis=2)
-            + _aggregate_axis_pallas(cost, P1, P2, axis=1,
-                                     interpret=interpret)
-        )
+        # Both path families run the SAME grid-stepped Pallas kernel: the
+        # vertical paths on the (D, H, W) volume, the horizontal paths on
+        # a cost volume built DIRECTLY in the transposed (D, W, H) frame
+        # (census codes commute with image transposition up to a shared
+        # bit permutation, so the tiny uint8 image transpose replaces the
+        # pathological volume transpose). The MXU transpose-add kernel
+        # brings the horizontal aggregate back to (D, H, W), folding in
+        # the vertical aggregate in the same HBM pass. The barrier keeps
+        # XLA from fusing into the epilogue — that fusion miscompiles on
+        # TPU (see sgm_disparity docstring).
+        cost_t = census_cost_volume_T(
+            left, right, max_disparity=max_disparity
+        ).astype(jnp.float32)
+        agg_v = _aggregate_axis_pallas(cost, P1, P2, axis=1,
+                                       interpret=interpret)
+        agg_ht = _aggregate_axis_pallas(cost_t, P1, P2, axis=1,
+                                        interpret=interpret)
+        agg = _transpose_add_pallas(agg_ht, agg_v, interpret=interpret)
         agg = jax.lax.optimization_barrier(agg)
     else:
         agg = (

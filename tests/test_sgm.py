@@ -128,6 +128,39 @@ def test_sgm_pallas_backend_end_to_end(rng):
     assert np.array_equal(a, b)
 
 
+def test_census_cost_volume_transposed_frame(rng):
+    """census_cost_volume_T must equal the transposed standard volume
+    bit-for-bit (the Hamming cost is invariant under the shared bit
+    permutation that image transposition applies to census codes)."""
+    from steroscopic_hardware_tpu.ops.census import census_cost_volume_T
+
+    left = rng.integers(0, 256, (37, 61), dtype=np.uint8)
+    right = rng.integers(0, 256, (37, 61), dtype=np.uint8)
+    want = np.asarray(
+        census_cost_volume(jnp.asarray(left), jnp.asarray(right),
+                           max_disparity=12)
+    ).transpose(0, 2, 1)
+    got = np.asarray(
+        census_cost_volume_T(jnp.asarray(left), jnp.asarray(right),
+                             max_disparity=12)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_transpose_add_pallas_exact(rng):
+    """The MXU transpose-add kernel is exact in float32 (x*1 + zeros)."""
+    from steroscopic_hardware_tpu.ops.sgm import _transpose_add_pallas
+
+    aT = rng.standard_normal((11, 72, 40)).astype(np.float32) * 100
+    b = rng.standard_normal((11, 40, 72)).astype(np.float32) * 100
+    want = aT.transpose(0, 2, 1) + b
+    got = np.asarray(
+        _transpose_add_pallas(jnp.asarray(aT), jnp.asarray(b),
+                              interpret=True)
+    )
+    assert np.array_equal(got, want)
+
+
 def test_sgm_pallas_fractional_penalties(rng):
     """Non-integer P1/P2 exercise the SMEM scalar path; results must agree
     to float tolerance."""
