@@ -88,7 +88,25 @@ def _pick_col_tile(Dp: int, Kp: int, budget_bytes: int = 12 << 20) -> int:
     return TK
 
 
-def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False):
+def _bf16_exact(P1: float, P2: float) -> bool:
+    """True when every value the SGM recursion can produce is exactly
+    representable in bfloat16, so the aggregated volumes can be stored at
+    half bandwidth with bit-identical results. Census costs are integers
+    <= 24 and each path value is bounded by max(C) + P2 (the recursion
+    subtracts min_d' each step), so with integer penalties all stored
+    values are integers <= 24 + P2 (< 256 => exact in bf16's 8-bit
+    mantissa); the fwd+bwd and vertical+horizontal sums stay <= 4*(24+P2).
+    """
+    return (
+        float(P1).is_integer()
+        and float(P2).is_integer()
+        and 0 <= P1 <= 39
+        and 0 <= P2 <= 39
+    )
+
+
+def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
+                           out_dtype=jnp.float32):
     """Pallas-TPU counterpart of :func:`_aggregate_axis`: the same
     direction-batched recursion, but stepped by the Pallas grid instead of
     ``lax.scan`` — each grid step DMAs one (D, K) cost slice per direction
@@ -97,27 +115,38 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False):
     The backward direction rides the same grid with a mirrored index map
     (slice S-1-s), so both directions cost one pass over HBM.
 
-    cost: (D, H, W) float32. Returns same-shape summed aggregated costs,
-    numerically identical to the XLA path (same op order per element).
+    cost: (D, H, W) float32 or uint8. Returns same-shape float32 summed
+    aggregated costs, numerically identical to the XLA path on the float32
+    cost (same op order per element). uint8 input is the HBM-traffic
+    optimization: the raw census costs (<= 24) stream into the kernel at a
+    quarter of the float32 bandwidth and are widened in VMEM, with the
+    d-pad rows masked to +INF in-kernel (a uint8 pad value cannot encode
+    "never wins the min over d'").
 
     NOTE: only worth using for axis=1. axis=2 requires the (2,0,1)
     transpose, which moves the lane dimension and relayouts through 8x128
     tiles — measured ~25x slower than the whole aggregation on v5e. The
-    production TPU path (see ``_sgm_impl``) therefore pairs this kernel
-    (axis=1) with the ``lax.scan`` aggregation (axis=2), whose scanned
-    dynamic slice of the last axis never needs the hostile transpose.
+    production TPU path (see ``_sgm_impl``) therefore feeds this kernel
+    (axis=1) both the (D, H, W) volume and a transposed-frame (D, W, H)
+    volume, which together cover all 4 path directions.
     """
     if axis == 1:
         vol = jnp.transpose(cost, (1, 0, 2))   # (S=H, D, W)
     else:
         vol = jnp.transpose(cost, (2, 0, 1))   # (S=W, D, H)
     S, D, K = vol.shape
-    Dp = _round_up(D, 8)
+    is_u8 = vol.dtype == jnp.uint8
+    # 8-bit VMEM tiles are (32, 128), 16-bit (16, 128); keep the d-pad a
+    # multiple of every tile in play so the block layouts stay native.
+    align = {1: 32, 2: 16, 4: 8}
+    Dp = _round_up(D, max(align[vol.dtype.itemsize],
+                          align[jnp.dtype(out_dtype).itemsize]))
     Kp = _round_up(K, 128)
     # d-pads hold _INF so they never win the min over d'; lane pads are
-    # independent columns and never mix with real ones.
+    # independent columns and never mix with real ones. (uint8 pads are
+    # masked to _INF inside the kernel instead.)
     volp = jnp.pad(vol, ((0, 0), (0, Dp - D), (0, Kp - K)),
-                   constant_values=_INF)
+                   constant_values=255 if is_u8 else _INF)
     TK = _pick_col_tile(Dp, Kp)
     n_k = Kp // TK
     p12 = jnp.asarray([[P1, P2]], jnp.float32)
@@ -129,6 +158,14 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False):
 
         def one(v_ref, o_ref, carry):
             c = v_ref[0]
+            if is_u8:
+                d_iota = jax.lax.broadcasted_iota(jnp.int32, (Dp, TK), 0)
+                # Mosaic has no direct uint8->f32 cast; widen via int32.
+                c = jnp.where(d_iota < D,
+                              c.astype(jnp.int32).astype(jnp.float32),
+                              jnp.float32(1e9))
+            elif c.dtype != jnp.float32:
+                c = c.astype(jnp.float32)       # bf16 cost volume input
 
             @pl.when(s == 0)
             def _():
@@ -146,14 +183,14 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False):
                 )
                 carry[:] = c + best - m
 
-            o_ref[0] = carry[:]
+            o_ref[0] = carry[:].astype(out_dtype)
 
         one(vf_ref, of_ref, cf)
         one(vb_ref, ob_ref, cb)
 
     blk = lambda idx: pl.BlockSpec((1, Dp, TK), idx,
                                    memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((S, Dp, Kp), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((S, Dp, Kp), out_dtype)
     fwd, bwd = pl.pallas_call(
         kernel,
         grid=(n_k, S),
@@ -178,57 +215,84 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False):
     return jnp.transpose(both, (1, 2, 0))
 
 
-def _transpose_add_pallas(aT, b, interpret: bool = False):
-    """``transpose(aT, (0, 2, 1)) + b`` as a Pallas TPU kernel.
+def _transpose_add_pallas(aT, b=None, interpret: bool = False,
+                          out_dtype=None):
+    """``transpose(aT, (0, 2, 1)) [+ b]`` as a Pallas TPU kernel.
 
-    aT: (D, B, A) float32, b: (D, A, B) float32 -> (D, A, B).
+    aT: (D, B, A), b: (D, A, B) or None -> (D, A, B) in ``out_dtype``
+    (default: aT's dtype; uint8 input requires an explicit float out).
 
     The lane-moving transpose is the one operation XLA handles
     pathologically on v5e (a standalone (D, H, W)->(D, W, H) relayout of a
     64x480x640 volume measures ~2.6 s) and in-kernel ``jnp.swapaxes``
     miscompiles on this toolchain. The MXU, however, transposes for free:
     per 128x128 d-slice tile, X^T = dot_general(X, I) contracting the
-    first axes (out[i, j] = sum_k X[k, i] * I[k, j] = X[j, i]) — exact in
-    float32, since each output element is one x*1 product plus exact
-    zeros (precision=HIGHEST keeps the operand from bf16 truncation).
-    The vertical-path volume ``b`` rides the same grid so the sum costs
-    no extra HBM pass.
+    first axes (out[i, j] = sum_k X[k, i] * I[k, j] = X[j, i]) — exact,
+    since each output element is one x*1 product plus exact zeros
+    (precision=HIGHEST keeps f32 operands from bf16 truncation; bf16
+    operands are exact natively for the small integers stored here).
+    The optional ``b`` volume rides the same grid so the sum costs no
+    extra HBM pass. uint8 input (the raw census cost volume) is widened
+    to f32 in VMEM via int32 (Mosaic has no direct u8->f32 cast).
     """
     D, B, A = aT.shape
-    assert b.shape == (D, A, B), (aT.shape, b.shape)
+    if b is not None:
+        assert b.shape == (D, A, B), (aT.shape, b.shape)
+    if out_dtype is None:
+        out_dtype = aT.dtype
+    is_u8 = aT.dtype == jnp.uint8
+    assert not (is_u8 and out_dtype == jnp.uint8)
     TD, TA, TB = 8, 128, 128
-    Dp = _round_up(D, TD)
+    Dp = _round_up(D, 32 if is_u8 else TD)
     Ap = _round_up(A, TA)
     Bp = _round_up(B, TB)
     aTp = jnp.pad(aT, ((0, Dp - D), (0, Bp - B), (0, Ap - A)))
-    bp = jnp.pad(b, ((0, Dp - D), (0, Ap - A), (0, Bp - B)))
+    operands = [aTp]
+    if b is not None:
+        operands.append(jnp.pad(b, ((0, Dp - D), (0, Ap - A),
+                                    (0, Bp - B))))
 
-    def kernel(aT_ref, b_ref, o_ref):
+    mm_dtype = jnp.float32 if is_u8 else aT.dtype
+    # HIGHEST keeps f32 operands from bf16 truncation in the MXU; for
+    # bf16 operands it is unsupported (and unneeded — a 0/1 identity
+    # times exactly-representable values is exact natively).
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def kernel(aT_ref, *rest):
+        b_ref = rest[0] if b is not None else None
+        o_ref = rest[-1]
         ir = jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
         ic = jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
-        eye = (ir == ic).astype(jnp.float32)
+        eye = (ir == ic).astype(mm_dtype)
         for t in range(TD):
             X = aT_ref[t]                      # (TB, TA)
-            o_ref[t] = b_ref[t] + jax.lax.dot_general(
+            if is_u8:
+                X = X.astype(jnp.int32).astype(jnp.float32)
+            xt = jax.lax.dot_general(
                 X, eye, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
+            if b_ref is not None:
+                xt = b_ref[t].astype(jnp.float32) + xt
+            o_ref[t] = xt.astype(out_dtype)
 
+    in_specs = [pl.BlockSpec((TD, TB, TA), lambda d, i, j: (d, j, i),
+                             memory_space=pltpu.VMEM)]
+    if b is not None:
+        in_specs.append(pl.BlockSpec((TD, TA, TB),
+                                     lambda d, i, j: (d, i, j),
+                                     memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
         grid=(Dp // TD, Ap // TA, Bp // TB),
-        in_specs=[
-            pl.BlockSpec((TD, TB, TA), lambda d, i, j: (d, j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TD, TA, TB), lambda d, i, j: (d, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TD, TA, TB), lambda d, i, j: (d, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Dp, Ap, Bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Dp, Ap, Bp), out_dtype),
         interpret=interpret,
-    )(aTp, bp)
+    )(*operands)
     return out[:D, :A, :B]
 
 
@@ -299,31 +363,46 @@ def _sgm_impl(
     backend: str,
     interpret: bool,
 ):
-    cost = census_cost_volume(
-        left, right, max_disparity=max_disparity
-    ).astype(jnp.float32)
-
     if backend == "pallas":
         # Both path families run the SAME grid-stepped Pallas kernel: the
         # vertical paths on the (D, H, W) volume, the horizontal paths on
         # a cost volume built DIRECTLY in the transposed (D, W, H) frame
         # (census codes commute with image transposition up to a shared
         # bit permutation, so the tiny uint8 image transpose replaces the
-        # pathological volume transpose). The MXU transpose-add kernel
-        # brings the horizontal aggregate back to (D, H, W), folding in
-        # the vertical aggregate in the same HBM pass. The barrier keeps
-        # XLA from fusing into the epilogue — that fusion miscompiles on
-        # TPU (see sgm_disparity docstring).
+        # pathological volume transpose). Both volumes stream in as raw
+        # uint8 census costs (quarter bandwidth) and are widened in VMEM.
+        # The MXU transpose-add kernel brings the horizontal aggregate
+        # back to (D, H, W), folding in the vertical aggregate in the
+        # same HBM pass. The barrier keeps XLA from fusing into the
+        # epilogue — that fusion miscompiles on TPU (see sgm_disparity
+        # docstring).
+        # Only the TRANSPOSED volume is built in XLA: its disparity shift
+        # slices along a major axis (nearly free), whereas the standard
+        # frame's lane-axis shifts measured ~50 ms at 1080p. The standard
+        # frame comes from the MXU transpose kernel instead, as exact
+        # small-integer bf16 (census costs <= 24).
         cost_t = census_cost_volume_T(
             left, right, max_disparity=max_disparity
-        ).astype(jnp.float32)
+        )
+        cost = _transpose_add_pallas(cost_t, interpret=interpret,
+                                     out_dtype=jnp.bfloat16)
+        # Integer penalties keep every aggregated value an exact small
+        # integer, so the volumes can live in bfloat16 at half the HBM
+        # bandwidth with bit-identical disparities (see _bf16_exact).
+        agg_dtype = (jnp.bfloat16 if _bf16_exact(P1, P2)
+                     else jnp.float32)
         agg_v = _aggregate_axis_pallas(cost, P1, P2, axis=1,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       out_dtype=agg_dtype)
         agg_ht = _aggregate_axis_pallas(cost_t, P1, P2, axis=1,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        out_dtype=agg_dtype)
         agg = _transpose_add_pallas(agg_ht, agg_v, interpret=interpret)
         agg = jax.lax.optimization_barrier(agg)
     else:
+        cost = census_cost_volume(
+            left, right, max_disparity=max_disparity
+        ).astype(jnp.float32)
         agg = (
             _aggregate_axis(cost, P1, P2, axis=2)   # left<->right paths
             + _aggregate_axis(cost, P1, P2, axis=1) # up<->down paths
@@ -342,7 +421,12 @@ def _sgm_impl(
         return d_best.astype(jnp.float32)
 
     d_c = jnp.clip(d_best, 1, D - 2)
-    sel = lambda d: jnp.where(iota == d[None], agg, 0.0).sum(0)
+    # Upcast before the masked sum: the parabola arithmetic needs f32
+    # even when agg is bf16 (c0 - 2*c1 + c2 exceeds bf16's exact-integer
+    # range); the cast fuses into the reduction, nothing materializes.
+    sel = lambda d: jnp.where(
+        iota == d[None], agg, 0
+    ).astype(jnp.float32).sum(0)
     c0 = sel(d_c - 1)
     c1 = sel(d_c)
     c2 = sel(d_c + 1)

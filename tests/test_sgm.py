@@ -147,6 +147,65 @@ def test_census_cost_volume_transposed_frame(rng):
     assert np.array_equal(got, want)
 
 
+def test_sgm_pallas_end_to_end_fractional_penalties(rng):
+    """Fractional P1/P2 disable the bf16 volume optimization; the f32
+    pallas pipeline must still match XLA bit-for-bit."""
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)
+    a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, P1=0.7, P2=5.3,
+                                 backend="xla"))
+    b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, P1=0.7, P2=5.3,
+                                 backend="pallas", interpret=True))
+    assert np.array_equal(a, b)
+
+
+def test_aggregation_bf16_exact_gate():
+    from steroscopic_hardware_tpu.ops.sgm import _bf16_exact
+
+    assert _bf16_exact(1.0, 8.0)
+    assert not _bf16_exact(0.7, 5.3)
+    assert not _bf16_exact(1.0, 100.0)
+
+
+def test_aggregation_bf16_output_matches_float(rng):
+    """bf16 volume storage must round-trip the exact integer aggregates."""
+    from steroscopic_hardware_tpu.ops.sgm import (
+        _aggregate_axis,
+        _aggregate_axis_pallas,
+    )
+
+    cost = rng.integers(0, 25, (17, 40, 72), dtype=np.uint8)
+    want = np.asarray(
+        _aggregate_axis(jnp.asarray(cost, jnp.float32), 1.0, 8.0, axis=1)
+    )
+    got = np.asarray(
+        _aggregate_axis_pallas(jnp.asarray(cost), 1.0, 8.0, axis=1,
+                               interpret=True, out_dtype=jnp.bfloat16)
+    ).astype(np.float32)
+    assert np.array_equal(got, want)
+
+
+def test_aggregation_uint8_ingest_matches_float(rng):
+    """The Pallas aggregation accepts raw uint8 census costs (the HBM
+    bandwidth path) and must produce bit-identical float32 output."""
+    from steroscopic_hardware_tpu.ops.sgm import (
+        _aggregate_axis,
+        _aggregate_axis_pallas,
+    )
+
+    cost = rng.integers(0, 25, (17, 40, 72), dtype=np.uint8)
+    want = np.asarray(
+        _aggregate_axis(jnp.asarray(cost, jnp.float32), 1.0, 8.0, axis=1)
+    )
+    got = np.asarray(
+        _aggregate_axis_pallas(jnp.asarray(cost), 1.0, 8.0, axis=1,
+                               interpret=True)
+    )
+    assert np.array_equal(got, want)
+
+
 def test_transpose_add_pallas_exact(rng):
     """The MXU transpose-add kernel is exact in float32 (x*1 + zeros)."""
     from steroscopic_hardware_tpu.ops.sgm import _transpose_add_pallas
