@@ -78,14 +78,21 @@ def _aggregate_axis(cost, P1, P2, axis: int):
     return jnp.transpose(both, (1, 2, 0))
 
 
-def _pick_col_tile(Dp: int, Kp: int, budget_bytes: int = 12 << 20) -> int:
-    """Largest lane tile (multiple of 128, <= Kp) such that the kernel's
-    VMEM working set — 2 pipelined buffers for each of the 2 inputs and
-    2 outputs, plus the 2 carries — fits the budget."""
-    TK = Kp
-    while TK > 128 and 10 * Dp * TK * 4 > budget_bytes:
-        TK = _round_up(TK // 2, 128)
-    return TK
+def _pick_col_tile(Dp: int, Kp: int, TS: int = 1, in_size: int = 4,
+                   out_size: int = 4, budget_bytes: int = 12 << 20) -> int:
+    """Largest lane tile (multiple of 128, EXACTLY dividing Kp) such that
+    the kernel's VMEM working set — 2 pipelined buffers for each of the 2
+    (TS, Dp, TK) inputs and outputs, plus the 2 f32 carries — fits the
+    budget. The divisibility requirement is load-bearing: the grid is
+    ``Kp // TK`` wide, so a non-dividing tile would silently drop the
+    trailing lanes (a plain halving loop picks e.g. 768 for Kp=1408)."""
+    per_lane = 4 * TS * Dp * (in_size + out_size) + 8 * Dp
+    m = Kp // 128
+    best = 128
+    for t in range(1, m + 1):
+        if m % t == 0 and per_lane * 128 * t <= budget_bytes:
+            best = 128 * t
+    return best
 
 
 def _bf16_exact(P1: float, P2: float) -> bool:
@@ -147,61 +154,80 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     # masked to _INF inside the kernel instead.)
     volp = jnp.pad(vol, ((0, 0), (0, Dp - D), (0, Kp - K)),
                    constant_values=255 if is_u8 else _INF)
-    TK = _pick_col_tile(Dp, Kp)
+    # Rows per grid step: each step is dominated by fixed DMA-issue
+    # latency (~15-30 us measured on v5e regardless of dtype), so batch
+    # TS sequential rows into one block and recurse in-kernel — 8-16x
+    # fewer grid steps for the same bytes. TS must divide S exactly
+    # (mirrored backward indexing); power-of-two so common sizes hit 16.
+    TS = 1
+    while TS < 16 and S % (TS * 2) == 0:
+        TS *= 2
+    n_s = S // TS
+    TK = _pick_col_tile(Dp, Kp, TS, vol.dtype.itemsize,
+                        jnp.dtype(out_dtype).itemsize)
     n_k = Kp // TK
     p12 = jnp.asarray([[P1, P2]], jnp.float32)
 
     def kernel(p_ref, vf_ref, vb_ref, of_ref, ob_ref, cf, cb):
-        s = pl.program_id(1)
+        g = pl.program_id(1)
         p1 = p_ref[0, 0]
         p2 = p_ref[0, 1]
 
-        def one(v_ref, o_ref, carry):
-            c = v_ref[0]
+        def prep(c):
             if is_u8:
                 d_iota = jax.lax.broadcasted_iota(jnp.int32, (Dp, TK), 0)
                 # Mosaic has no direct uint8->f32 cast; widen via int32.
-                c = jnp.where(d_iota < D,
-                              c.astype(jnp.int32).astype(jnp.float32),
-                              jnp.float32(1e9))
-            elif c.dtype != jnp.float32:
-                c = c.astype(jnp.float32)       # bf16 cost volume input
+                return jnp.where(d_iota < D,
+                                 c.astype(jnp.int32).astype(jnp.float32),
+                                 jnp.float32(1e9))
+            if c.dtype != jnp.float32:
+                return c.astype(jnp.float32)    # bf16 cost volume input
+            return c
 
-            @pl.when(s == 0)
-            def _():
-                carry[:] = c
+        def recurse(carry, c):
+            prev = carry[:]
+            m = jnp.min(prev, axis=0, keepdims=True)
+            inf_row = jnp.full((1, TK), 1e9, jnp.float32)
+            up = jnp.concatenate([prev[1:], inf_row], 0)
+            dn = jnp.concatenate([inf_row, prev[:-1]], 0)
+            best = jnp.minimum(
+                jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2
+            )
+            carry[:] = c + best - m
 
-            @pl.when(s > 0)
-            def _():
-                prev = carry[:]
-                m = jnp.min(prev, axis=0, keepdims=True)
-                inf_row = jnp.full((1, TK), 1e9, jnp.float32)
-                up = jnp.concatenate([prev[1:], inf_row], 0)
-                dn = jnp.concatenate([inf_row, prev[:-1]], 0)
-                best = jnp.minimum(
-                    jnp.minimum(prev, jnp.minimum(up, dn) + p1), m + p2
-                )
-                carry[:] = c + best - m
+        def one(v_ref, o_ref, carry, reverse):
+            order = range(TS - 1, -1, -1) if reverse else range(TS)
+            for i, u in enumerate(order):
+                c = prep(v_ref[u])
+                if i == 0:
+                    @pl.when(g == 0)
+                    def _(c=c, carry=carry):
+                        carry[:] = c
 
-            o_ref[0] = carry[:].astype(out_dtype)
+                    @pl.when(g > 0)
+                    def _(c=c, carry=carry):
+                        recurse(carry, c)
+                else:
+                    recurse(carry, c)
+                o_ref[u] = carry[:].astype(out_dtype)
 
-        one(vf_ref, of_ref, cf)
-        one(vb_ref, ob_ref, cb)
+        one(vf_ref, of_ref, cf, False)
+        one(vb_ref, ob_ref, cb, True)
 
-    blk = lambda idx: pl.BlockSpec((1, Dp, TK), idx,
+    blk = lambda idx: pl.BlockSpec((TS, Dp, TK), idx,
                                    memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((S, Dp, Kp), out_dtype)
     fwd, bwd = pl.pallas_call(
         kernel,
-        grid=(n_k, S),
+        grid=(n_k, n_s),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda k, s: (0, 0),
+            pl.BlockSpec((1, 2), lambda k, g: (0, 0),
                          memory_space=pltpu.SMEM),
-            blk(lambda k, s: (s, 0, k)),
-            blk(lambda k, s: (S - 1 - s, 0, k)),
+            blk(lambda k, g: (g, 0, k)),
+            blk(lambda k, g: (n_s - 1 - g, 0, k)),
         ],
-        out_specs=(blk(lambda k, s: (s, 0, k)),
-                   blk(lambda k, s: (S - 1 - s, 0, k))),
+        out_specs=(blk(lambda k, g: (g, 0, k)),
+                   blk(lambda k, g: (n_s - 1 - g, 0, k))),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[
             pltpu.VMEM((Dp, TK), jnp.float32),

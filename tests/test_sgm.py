@@ -161,6 +161,18 @@ def test_sgm_pallas_end_to_end_fractional_penalties(rng):
     assert np.array_equal(a, b)
 
 
+def test_pick_col_tile_always_divides():
+    """The lane tile must divide Kp exactly — the grid is Kp // TK wide,
+    so a non-dividing tile silently drops trailing columns."""
+    from steroscopic_hardware_tpu.ops.sgm import _pick_col_tile
+
+    for m in range(1, 40):
+        kp = 128 * m
+        for dp in (8, 32, 96, 160, 264, 512):
+            tk = _pick_col_tile(dp, kp)
+            assert tk % 128 == 0 and kp % tk == 0, (dp, kp, tk)
+
+
 def test_aggregation_bf16_exact_gate():
     from steroscopic_hardware_tpu.ops.sgm import _bf16_exact
 
