@@ -42,15 +42,22 @@ def main():
     if platform == "tpu":
         from steroscopic_hardware_tpu.ops.sad_pallas import disparity_pallas
 
-        def f(l, r):
+        def step(l, r):
             return disparity_pallas(
                 l, r, block_size=BLOCK, max_disparity=MAXD
             )
     else:
         from steroscopic_hardware_tpu.ops.sad_xla import disparity_xla
 
-        def f(l, r):
+        def step(l, r):
             return disparity_xla(l, r, block_size=BLOCK, max_disparity=MAXD)
+
+    # Positional re-jit: the kwarg/static-arg call path above costs ~2 ms
+    # of PYTHON dispatch per frame (measured on the axon host), which
+    # swamps the ~0.6 ms device time. A plain 2-positional-arg jit takes
+    # the C++ fast path, so the chained loop below measures the device,
+    # not the interpreter.
+    f = jax.jit(step)
 
     L = jax.device_put(left)
     R = jax.device_put(right)

@@ -110,19 +110,20 @@ def _window_sum(a, B: int, out_len: int, axis: int):
 
 
 def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
-                 hbm_inputs=True):
+                 U=1, hbm_inputs=True):
     h = block_size // 2
     B = 2 * h + 1
     n_d = max_disparity + 1
+    n_dg = -(-n_d // U)
 
     def kernel_vmem(l_ref, r_ref, out_ref, lt32, rs, best_cost, best_d):
         t = pl.program_id(0)
-        d = pl.program_id(1)
+        dg = pl.program_id(1)
         row0 = t * TH
         cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
         in_image = cols < W + h
 
-        @pl.when(d == 0)
+        @pl.when(dg == 0)
         def _():
             lt32[:] = l_ref[pl.ds(row0, TR), :].astype(jnp.int32)
             rs[:] = jnp.where(
@@ -131,13 +132,13 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
             best_cost[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
             best_d[:] = jnp.zeros((TH, Wout), jnp.int32)
 
-        _sweep_body(d, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
+        _sweep_body(dg, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
 
     def kernel(
         l_hbm, r_hbm, out_ref, lt_u8, rt_u8, lt32, rs, best_cost, best_d, sems
     ):
         t = pl.program_id(0)
-        d = pl.program_id(1)
+        dg = pl.program_id(1)
         row0 = t * TH
         cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
         # Out-of-image columns (buffer col j >= W + h) must read as zero so
@@ -145,7 +146,7 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
         # mask to rs on every step keeps shifted-in pixels from surviving.
         in_image = cols < W + h
 
-        @pl.when(d == 0)
+        @pl.when(dg == 0)
         def _():
             # Per-tile init: DMA the row tile (+halo) from HBM — VMEM usage
             # is bounded regardless of image size — then hoist the
@@ -165,37 +166,55 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
             rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
             best_cost[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
             best_d[:] = jnp.zeros((TH, Wout), jnp.int32)
-        _sweep_body(d, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
+        _sweep_body(dg, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
 
-    def _sweep_body(d, h, B, in_image, out_ref, lt32, rs, best_cost, best_d):
-        @pl.when(d > 0)
-        def _():
-            # Incremental disparity shift: one static lane shift with zero
-            # fill per step (rs[:, j] = R[:, j - h - d] for in-range cols).
-            shifted = jnp.concatenate(
-                [jnp.zeros((TR, 1), jnp.int32), rs[:, : Wbuf - 1]], axis=1
-            )
-            rs[:] = jnp.where(in_image, shifted, 0)
+    def _sweep_body(dg, h, B, in_image, out_ref, lt32, rs, best_cost, best_d):
+        # U disparities per grid step (statically unrolled): the per-step
+        # VPU work here is ~1 us while each grid step carries a fixed
+        # sequencing overhead several times that, so batching disparities
+        # into one step removes most of the kernel's wall time. The math
+        # and its order are IDENTICAL to the U=1 form (same shift, masks,
+        # strict-< argmin), so the output stays bit-exact.
+        for i in range(U):
+            d = dg * U + i
 
-        ad = jnp.abs(lt32[:] - rs[:])
+            def shift():
+                # Incremental disparity shift: one static lane shift with
+                # zero fill per step (rs[:, j] = R[:, j - h - d]).
+                shifted = jnp.concatenate(
+                    [jnp.zeros((TR, 1), jnp.int32), rs[:, : Wbuf - 1]],
+                    axis=1,
+                )
+                rs[:] = jnp.where(in_image, shifted, 0)
 
-        # Separable box sum: columns (lane axis) then rows (sublane axis),
-        # each as a log-tree windowed sum: power-of-2 partial sums built by
-        # doubling, then O(popcount(B)) combines — ~2*log2(B)+1 adds per
-        # axis instead of B (the win that makes block 31 cheap).
-        colsum = _window_sum(ad, B, Wout, axis=1)
-        cost = _window_sum(colsum, B, TH, axis=0)
+            if i == 0:
+                pl.when(dg > 0)(shift)
+            else:
+                shift()
 
-        # Candidate validity: d <= x - h  (for x < h no candidate is valid,
-        # best_d stays 0 -> output 0, matching the reference).
-        x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
-        cost = jnp.where(x >= d + h, cost, _BIG)
+            ad = jnp.abs(lt32[:] - rs[:])
 
-        better = cost < best_cost[:]
-        best_cost[:] = jnp.where(better, cost, best_cost[:])
-        best_d[:] = jnp.where(better, d, best_d[:])
+            # Separable box sum: columns (lane axis) then rows (sublane
+            # axis), each as a log-tree windowed sum: power-of-2 partial
+            # sums built by doubling, then O(popcount(B)) combines —
+            # ~2*log2(B)+1 adds per axis instead of B (the win that makes
+            # block 31 cheap).
+            colsum = _window_sum(ad, B, Wout, axis=1)
+            cost = _window_sum(colsum, B, TH, axis=0)
 
-        @pl.when(d == n_d - 1)
+            # Candidate validity: d <= x - h (for x < h no candidate is
+            # valid, best_d stays 0 -> output 0, matching the reference);
+            # d > max_disparity only occurs in the U-padded tail of the
+            # last group and is masked out entirely.
+            x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
+            valid = jnp.logical_and(x >= d + h, d <= max_disparity)
+            cost = jnp.where(valid, cost, _BIG)
+
+            better = cost < best_cost[:]
+            best_cost[:] = jnp.where(better, cost, best_cost[:])
+            best_d[:] = jnp.where(better, d, best_d[:])
+
+        @pl.when(dg == n_dg - 1)
         def _():
             out_ref[:] = (
                 (best_d[:] * 255) // max_disparity
@@ -207,7 +226,8 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_size", "max_disparity", "row_tile", "hbm_inputs", "interpret"
+        "block_size", "max_disparity", "row_tile", "hbm_inputs", "d_unroll",
+        "interpret",
     ),
 )
 def disparity_pallas(
@@ -218,12 +238,17 @@ def disparity_pallas(
     max_disparity: int,
     row_tile: int = 128,
     hbm_inputs: bool = True,
+    d_unroll: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Dense uint8 disparity map on TPU via the fused Pallas kernel.
 
     Args: uint8 grayscale (H, W) images; parameters as in
     :func:`steroscopic_hardware_tpu.ops.sad_xla.disparity_xla`.
+    ``d_unroll`` batches that many disparity steps into one grid step
+    (bit-exact — same ops, same order); values above ~8 exceed Mosaic's
+    16 MB scoped-VMEM stack at VGA widths because unrolled iterations do
+    not share spill space, so the default stays 1.
     """
     if left.shape != right.shape or left.ndim != 2:
         raise ValueError("left/right must be identical-shape (H, W) images")
@@ -240,6 +265,8 @@ def disparity_pallas(
     TR = _round_up(TH + 2 * h, 32)
     Hp = n_tiles * TH + (TR - TH)
     n_d = max_disparity + 1
+    U = max(1, min(d_unroll, n_d))
+    n_dg = -(-n_d // U)
 
     Lbuf = jnp.zeros((Hp, Wbuf), jnp.uint8)
     Lbuf = jax.lax.dynamic_update_slice(Lbuf, left, (h, h))
@@ -248,7 +275,7 @@ def disparity_pallas(
 
     kernel = _make_kernel(
         H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
-        hbm_inputs=hbm_inputs,
+        U=U, hbm_inputs=hbm_inputs,
     )
     if hbm_inputs:
         in_specs = [
@@ -281,7 +308,7 @@ def disparity_pallas(
         ]
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_d),
+        grid=(n_tiles, n_dg),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (TH, Wout), lambda t, d: (t, 0), memory_space=pltpu.VMEM

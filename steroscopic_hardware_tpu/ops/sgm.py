@@ -322,6 +322,112 @@ def _transpose_add_pallas(aT, b=None, interpret: bool = False,
     return out[:D, :A, :B]
 
 
+def _sgm_epilogue_pallas(agg_v, agg_ht, *, D: int, subpixel: bool,
+                         interpret: bool = False):
+    """Fused SGM epilogue: transpose-add of the horizontal aggregate onto
+    the vertical one + running argmin + (optional) subpixel parabola, in
+    ONE pass over the two aggregated volumes (ROADMAP item 12).
+
+    Replaces ``_transpose_add_pallas(agg_ht, agg_v)`` (which materialized
+    the summed (D, H, W) volume) plus the XLA masked-reduction epilogue
+    (~4 more reads of that volume): same grid and MXU-transpose trick as
+    the transpose-add kernel, but the per-d cost slices feed a running
+    argmin in VMEM scratch and only the (H, W) disparity ever reaches HBM.
+    The argmin keeps first-minimum ties (strict ``<`` over increasing d)
+    and the neighbor costs c0/c2 are captured in-sweep (a win records the
+    previous slice as its left neighbor; the slice after a win supplies
+    the right neighbor — same scheme as ``sad_pallas.disparity_pallas_lr``
+    ``with_costs``), so the result is identical to the unfused form.
+
+    agg_v: (D, Hp, Wp) bf16/f32 vertical-path aggregate, agg_ht:
+    (D, Wp, Hp) horizontal-path aggregate in the transposed frame, with
+    Hp/Wp multiples of 128 (zero padding is harmless: pad pixels never
+    escape the crop). Returns disp float32 (Hp, Wp).
+    """
+    Dv, Hp, Wp = agg_v.shape
+    assert agg_ht.shape == (Dv, Wp, Hp), (agg_v.shape, agg_ht.shape)
+    assert Hp % 128 == 0 and Wp % 128 == 0, (Hp, Wp)
+    TD, TA, TB = 8, 128, 128
+    Dp = _round_up(Dv, TD)
+    if Dp != Dv:
+        agg_v = jnp.pad(agg_v, ((0, Dp - Dv), (0, 0), (0, 0)))
+        agg_ht = jnp.pad(agg_ht, ((0, Dp - Dv), (0, 0), (0, 0)))
+    n_dg = Dp // TD
+    mm_dtype = agg_ht.dtype
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def kernel(v_ref, ht_ref, o_ref, best, bestd, c0, c2, prev):
+        dg = pl.program_id(2)
+
+        @pl.when(dg == 0)
+        def _():
+            best[:] = jnp.full((TA, TB), 1e9, jnp.float32)
+            bestd[:] = jnp.full((TA, TB), 0, jnp.int32)
+            c0[:] = jnp.full((TA, TB), 1e9, jnp.float32)
+            c2[:] = jnp.full((TA, TB), 1e9, jnp.float32)
+            prev[:] = jnp.full((TA, TB), 1e9, jnp.float32)
+
+        ir = jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
+        eye = (ir == ic).astype(mm_dtype)
+        for t in range(TD):
+            d = dg * TD + t
+            # MXU transpose of the horizontal slice (see
+            # _transpose_add_pallas for why dot-with-identity is exact).
+            ht = jax.lax.dot_general(
+                ht_ref[t], eye, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            c = v_ref[t].astype(jnp.float32) + ht
+            # d-pad slices (only in the last group) must never win.
+            c = jnp.where(d < D, c, jnp.float32(1e9))
+            win = c < best[:]
+            c0[:] = jnp.where(win, prev[:], c0[:])
+            best[:] = jnp.where(win, c, best[:])
+            bestd[:] = jnp.where(win, d, bestd[:])
+            c2[:] = jnp.where(bestd[:] == d - 1, c, c2[:])
+            prev[:] = c
+
+        @pl.when(dg == n_dg - 1)
+        def _():
+            db = bestd[:]
+            if not subpixel:
+                o_ref[:] = db.astype(jnp.float32)
+            else:
+                denom = jnp.maximum(c0[:] - 2 * best[:] + c2[:], 1e-6)
+                delta = jnp.clip(0.5 * (c0[:] - c2[:]) / denom, -0.5, 0.5)
+                o_ref[:] = jnp.where(
+                    (db >= 1) & (db <= D - 2),
+                    db.astype(jnp.float32) + delta,
+                    db.astype(jnp.float32),
+                )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Hp // TA, Wp // TB, n_dg),
+        in_specs=[
+            pl.BlockSpec((TD, TA, TB), lambda i, j, d: (d, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TD, TB, TA), lambda i, j, d: (d, j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TA, TB), lambda i, j, d: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TA, TB), jnp.float32),   # best
+            pltpu.VMEM((TA, TB), jnp.int32),     # bestd
+            pltpu.VMEM((TA, TB), jnp.float32),   # c0
+            pltpu.VMEM((TA, TB), jnp.float32),   # c2
+            pltpu.VMEM((TA, TB), jnp.float32),   # prev
+        ],
+        interpret=interpret,
+    )(agg_v, agg_ht)
+    return out
+
+
 def _default_sgm_backend() -> str:
     try:
         platform = jax.devices()[0].platform
@@ -423,8 +529,23 @@ def _sgm_impl(
         agg_ht = _aggregate_axis_pallas(cost_t, P1, P2, axis=1,
                                         interpret=interpret,
                                         out_dtype=agg_dtype)
-        agg = _transpose_add_pallas(agg_ht, agg_v, interpret=interpret)
-        agg = jax.lax.optimization_barrier(agg)
+        # Fused epilogue (ROADMAP 12): the transpose-add of the two
+        # aggregates, the argmin and the subpixel parabola all happen in
+        # one Pallas pass — the summed volume never reaches HBM. The lane/
+        # sublane pads fuse into the aggregate-producing fusions (pad
+        # pixels compute garbage independently and are cropped). No
+        # optimization_barrier needed: there is no XLA epilogue left to
+        # mis-fuse into the scan output (see sgm_disparity docstring).
+        Hd, Wd = left.shape
+        D = agg_v.shape[0]
+        Hp = _round_up(Hd, 128)
+        Wp = _round_up(Wd, 128)
+        agg_v = jnp.pad(agg_v, ((0, 0), (0, Hp - Hd), (0, Wp - Wd)))
+        agg_ht = jnp.pad(agg_ht, ((0, 0), (0, Wp - Wd), (0, Hp - Hd)))
+        disp = _sgm_epilogue_pallas(
+            agg_v, agg_ht, D=D, subpixel=subpixel, interpret=interpret
+        )
+        return disp[:Hd, :Wd]
     else:
         cost = census_cost_volume(
             left, right, max_disparity=max_disparity

@@ -117,3 +117,16 @@ def test_pallas_lr_matches_xla(rng):
                             row_tile=32, interpret=True)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_d_unroll_bit_exact(rng):
+    """d_unroll batches disparity steps per grid step; any unroll must be
+    bit-identical to U=1 (same ops, same order, masked tail)."""
+    left, right = _pair(rng, 37, 53)
+    ref = disparity_numpy(left, right, 7, 20)
+    for u in (1, 3, 8, 21, 64):
+        got = disparity_pallas(
+            left, right, block_size=7, max_disparity=20,
+            row_tile=32, d_unroll=u, interpret=True,
+        )
+        assert np.array_equal(np.asarray(got), ref), u

@@ -248,3 +248,35 @@ def test_sgm_pallas_fractional_penalties(rng):
         _aggregate_axis_pallas(c, 0.7, 5.3, axis=2, interpret=True)
     )
     assert np.allclose(got, want, atol=1e-4)
+
+
+def test_sgm_fused_epilogue_matches_xla_no_subpixel(rng):
+    """The fused Pallas epilogue's raw-argmin path (subpixel=False) must
+    match the XLA backend exactly, including first-minimum tie-breaks."""
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)
+    a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, subpixel=False,
+                                 backend="xla"))
+    b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, subpixel=False,
+                                 backend="pallas", interpret=True))
+    assert np.array_equal(a, b)
+
+
+def test_sgm_fused_epilogue_winner_at_sweep_borders(rng):
+    """Winners at d=0 and d=D-1 take the no-subpixel branch; the fused
+    epilogue's in-sweep neighbor tracking must agree with the XLA
+    masked-reduction epilogue there (c0/c2 are sentinel values at the
+    borders and must never leak into the output)."""
+    # zero shift -> winners concentrated at d=0; large roll -> d near D-1
+    for shift in (0, -15):
+        left = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        right = np.roll(left, shift, axis=1)
+        a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                     max_disparity=16, backend="xla"))
+        b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                     max_disparity=16, backend="pallas",
+                                     interpret=True))
+        assert np.array_equal(a, b), shift
+        assert np.isfinite(b).all()
