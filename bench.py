@@ -10,9 +10,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is fps / 30 (the north-star real-time target; the
 reference publishes no numbers of its own — BASELINE.md "Reference facts").
 
-Timing uses a chained dependency (each frame's output feeds the next
-frame's input) so the measurement cannot be satisfied by dispatch
-pipelining or caching; one host sync closes the chain.
+Timing protocol (authoritative; see BENCH.md "measurement protocol"):
+the N-frame loop runs ON DEVICE as one jitted ``lax.scan`` whose carry is
+the frame (each frame's uint8 output feeds the next frame's left input),
+so a single dispatch covers the whole chain — neither tunnel RPC latency
+nor Python dispatch can contaminate the per-frame number, and the data
+dependency prevents XLA from eliding or overlapping frames. One host
+fetch closes the chain. Best of 3 runs (the tunnel adds tail latency
+spikes; the kernel itself is deterministic).
 """
 
 import json
@@ -52,12 +57,16 @@ def main():
         def step(l, r):
             return disparity_xla(l, r, block_size=BLOCK, max_disparity=MAXD)
 
-    # Positional re-jit: the kwarg/static-arg call path above costs ~2 ms
-    # of PYTHON dispatch per frame (measured on the axon host), which
-    # swamps the ~0.6 ms device time. A plain 2-positional-arg jit takes
-    # the C++ fast path, so the chained loop below measures the device,
-    # not the interpreter.
-    f = jax.jit(step)
+    N = 50
+
+    def chained(l, r):
+        def body(x, _):
+            return step(x, r), None
+        out, _ = jax.lax.scan(body, l, None, length=N)
+        return out
+
+    f = jax.jit(chained)
+    single = jax.jit(step)
 
     L = jax.device_put(left)
     R = jax.device_put(right)
@@ -73,8 +82,8 @@ def main():
 
     crop = np.s_[200:264, 200:328]
     want = disparity_numpy(left[crop], right[crop], BLOCK, MAXD)
-    got = np.asarray(f(jax.device_put(left[crop]),
-                       jax.device_put(right[crop])))
+    got = np.asarray(single(jax.device_put(left[crop]),
+                            jax.device_put(right[crop])))
     if not np.array_equal(want, got):
         print(json.dumps({
             "metric": "disparity_fps_640x480_b7_d64",
@@ -85,14 +94,12 @@ def main():
         }))
         return
 
-    # Chained timing: output feeds next input (uint8 HxW -> valid input).
-    n = 50
-    x = L
-    t0 = time.time()
-    for _ in range(n):
-        x = f(x, R)
-    np.asarray(x)  # host sync closes the dependency chain
-    dt = (time.time() - t0) / n
+    # Chained on-device timing: one dispatch runs all N frames.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(L, R))  # host sync closes the dependency chain
+        dt = min(dt, (time.perf_counter() - t0) / N)
 
     fps = 1.0 / dt
     print(json.dumps({

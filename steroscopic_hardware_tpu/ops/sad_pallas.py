@@ -114,86 +114,28 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
     h = block_size // 2
     B = 2 * h + 1
     n_d = max_disparity + 1
-    n_dg = -(-n_d // U)
 
-    def kernel_vmem(l_ref, r_ref, out_ref, lt32, rs, best_cost, best_d):
-        t = pl.program_id(0)
-        dg = pl.program_id(1)
-        row0 = t * TH
-        cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
-        in_image = cols < W + h
+    def _sweep(in_image, out_ref, lt32, rs, best_key):
+        # The whole disparity sweep lives IN-kernel as a fori_loop over
+        # VMEM-carried scratch state (one grid step per row tile). Round 1
+        # ran one grid step per disparity and was sequencing-bound: ~1 us
+        # of VPU work per step against several us of fixed grid-step
+        # overhead. A scalar-core loop carries none of that overhead, and
+        # unlike static grid unrolling, loop iterations share spill space,
+        # so any d_unroll is VMEM-safe.
+        x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
 
-        @pl.when(dg == 0)
-        def _():
-            lt32[:] = l_ref[pl.ds(row0, TR), :].astype(jnp.int32)
-            rs[:] = jnp.where(
-                in_image, r_ref[pl.ds(row0, TR), :].astype(jnp.int32), 0
-            )
-            best_cost[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
-            best_d[:] = jnp.zeros((TH, Wout), jnp.int32)
-
-        _sweep_body(dg, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
-
-    def kernel(
-        l_hbm, r_hbm, out_ref, lt_u8, rt_u8, lt32, rs, best_cost, best_d, sems
-    ):
-        t = pl.program_id(0)
-        dg = pl.program_id(1)
-        row0 = t * TH
-        cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
-        # Out-of-image columns (buffer col j >= W + h) must read as zero so
-        # the reference's truncated right windows see zeros; applying the
-        # mask to rs on every step keeps shifted-in pixels from surviving.
-        in_image = cols < W + h
-
-        @pl.when(dg == 0)
-        def _():
-            # Per-tile init: DMA the row tile (+halo) from HBM — VMEM usage
-            # is bounded regardless of image size — then hoist the
-            # uint8 -> int32 conversion out of the disparity sweep and reset
-            # the winner-take-all accumulators.
-            cl = pltpu.make_async_copy(
-                l_hbm.at[pl.ds(row0, TR), :], lt_u8, sems.at[0]
-            )
-            cr = pltpu.make_async_copy(
-                r_hbm.at[pl.ds(row0, TR), :], rt_u8, sems.at[1]
-            )
-            cl.start()
-            cr.start()
-            cl.wait()
-            cr.wait()
-            lt32[:] = lt_u8[:].astype(jnp.int32)
-            rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
-            best_cost[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
-            best_d[:] = jnp.zeros((TH, Wout), jnp.int32)
-        _sweep_body(dg, h, B, in_image, out_ref, lt32, rs, best_cost, best_d)
-
-    def _sweep_body(dg, h, B, in_image, out_ref, lt32, rs, best_cost, best_d):
-        # U disparities per grid step (statically unrolled): the per-step
-        # VPU work here is ~1 us while each grid step carries a fixed
-        # sequencing overhead several times that, so batching disparities
-        # into one step removes most of the kernel's wall time. The math
-        # and its order are IDENTICAL to the U=1 form (same shift, masks,
-        # strict-< argmin), so the output stays bit-exact.
-        for i in range(U):
-            d = dg * U + i
-
-            def shift():
-                # Incremental disparity shift: one static lane shift with
-                # zero fill per step (rs[:, j] = R[:, j - h - d]).
-                shifted = jnp.concatenate(
-                    [jnp.zeros((TR, 1), jnp.int32), rs[:, : Wbuf - 1]],
-                    axis=1,
-                )
-                rs[:] = jnp.where(in_image, shifted, 0)
-
-            if i == 0:
-                pl.when(dg > 0)(shift)
-            else:
-                shift()
-
+        # Winner-take-all as a SINGLE packed-key min: key = cost*512 + d.
+        # cost <= 255*31*31 < 2^18 and d <= 256 < 512, so the key fits
+        # int32 and orders exactly like (cost, d) lexicographically —
+        # i.e. the reference's strict-< smallest-d tie-break (sad.go:79)
+        # — in one jnp.minimum on one accumulator instead of a
+        # compare+two-selects on two. Invalid candidates (d > x - h,
+        # sad.go:64-67) take the sentinel 2^30, which also serves as the
+        # init: if nothing valid ever wins, 2^30 & 511 == 0 -> output 0,
+        # matching the reference's untouched-pixel value.
+        def key_at(d):
             ad = jnp.abs(lt32[:] - rs[:])
-
             # Separable box sum: columns (lane axis) then rows (sublane
             # axis), each as a log-tree windowed sum: power-of-2 partial
             # sums built by doubling, then O(popcount(B)) combines —
@@ -201,24 +143,97 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
             # block 31 cheap).
             colsum = _window_sum(ad, B, Wout, axis=1)
             cost = _window_sum(colsum, B, TH, axis=0)
-
             # Candidate validity: d <= x - h (for x < h no candidate is
-            # valid, best_d stays 0 -> output 0, matching the reference);
-            # d > max_disparity only occurs in the U-padded tail of the
-            # last group and is masked out entirely.
-            x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
-            valid = jnp.logical_and(x >= d + h, d <= max_disparity)
-            cost = jnp.where(valid, cost, _BIG)
+            # valid, best stays the sentinel -> output 0, as above).
+            return jnp.where(x >= d + h, cost * 512 + d, _BIG)
 
-            better = cost < best_cost[:]
-            best_cost[:] = jnp.where(better, cost, best_cost[:])
-            best_d[:] = jnp.where(better, d, best_d[:])
+        def update(key):
+            best_key[:] = jnp.minimum(best_key[:], key)
 
-        @pl.when(dg == n_dg - 1)
-        def _():
-            out_ref[:] = (
-                (best_d[:] * 255) // max_disparity
-            ).astype(jnp.uint8)
+        # d = 0 hoisted out of the loop (no shift), so the loop body's
+        # shift is unconditional — no per-step predicate.
+        update(key_at(0))
+
+        def shift():
+            # Incremental disparity shift (rs[:, j] = R[:, j - h - d]) as
+            # a lane rotate plus ONE static column zero: column W + h is
+            # the only one that ever receives a live image pixel it must
+            # not keep (all columns beyond it were zeroed on earlier
+            # steps, and the wrap-around into column 0 is a zero from
+            # that region), so re-zeroing it each step maintains the
+            # invariant "columns >= W + h read as zero" that the
+            # reference's truncated right windows require — without the
+            # full-width select of the naive masked shift.
+            rs[:] = pltpu.roll(rs[:], 1, 1)
+            rs[:, W + h : W + h + 1] = jnp.zeros((TR, 1), jnp.int32)
+
+        # Manual partial unroll: Mosaic's fori_loop supports only
+        # unroll=1 or full unroll, so U disparity steps are batched per
+        # loop iteration with a Python-level inner loop. Tail steps of the
+        # last group (only when U doesn't divide n_d - 1) shift harmlessly
+        # past the sweep and are masked out of the argmin, keeping any U
+        # bit-exact.
+        n_steps = n_d - 1
+        n_g = -(-n_steps // U) if n_steps else 0
+        exact = n_steps % U == 0
+
+        def group(g, _):
+            for i in range(U):
+                d = 1 + g * U + i
+                shift()
+                key = key_at(d)
+                if not exact:
+                    key = jnp.where(d <= max_disparity, key, _BIG)
+                update(key)
+            return 0
+
+        if n_g:
+            jax.lax.fori_loop(0, n_g, group, 0)
+        best_d = jax.lax.rem(best_key[:], 512)
+        out_ref[:] = ((best_d * 255) // max_disparity).astype(jnp.uint8)
+
+    def kernel_vmem(l_ref, r_ref, out_ref, lt32, rs, best_key):
+        t = pl.program_id(0)
+        row0 = t * TH
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
+        in_image = cols < W + h
+
+        lt32[:] = l_ref[pl.ds(row0, TR), :].astype(jnp.int32)
+        rs[:] = jnp.where(
+            in_image, r_ref[pl.ds(row0, TR), :].astype(jnp.int32), 0
+        )
+        best_key[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+        _sweep(in_image, out_ref, lt32, rs, best_key)
+
+    def kernel(
+        l_hbm, r_hbm, out_ref, lt_u8, rt_u8, lt32, rs, best_key, sems
+    ):
+        t = pl.program_id(0)
+        row0 = t * TH
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
+        # Out-of-image columns (buffer col j >= W + h) must read as zero so
+        # the reference's truncated right windows see zeros; applying the
+        # mask to rs on every step keeps shifted-in pixels from surviving.
+        in_image = cols < W + h
+
+        # Per-tile init: DMA the row tile (+halo) from HBM — VMEM usage
+        # is bounded regardless of image size — then hoist the
+        # uint8 -> int32 conversion out of the disparity sweep and reset
+        # the winner-take-all accumulators.
+        cl = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(row0, TR), :], lt_u8, sems.at[0]
+        )
+        cr = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(row0, TR), :], rt_u8, sems.at[1]
+        )
+        cl.start()
+        cr.start()
+        cl.wait()
+        cr.wait()
+        lt32[:] = lt_u8[:].astype(jnp.int32)
+        rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
+        best_key[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+        _sweep(in_image, out_ref, lt32, rs, best_key)
 
     return kernel if hbm_inputs else kernel_vmem
 
@@ -236,19 +251,19 @@ def disparity_pallas(
     *,
     block_size: int,
     max_disparity: int,
-    row_tile: int = 128,
+    row_tile: int = 256,
     hbm_inputs: bool = True,
-    d_unroll: int = 1,
+    d_unroll: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Dense uint8 disparity map on TPU via the fused Pallas kernel.
 
     Args: uint8 grayscale (H, W) images; parameters as in
     :func:`steroscopic_hardware_tpu.ops.sad_xla.disparity_xla`.
-    ``d_unroll`` batches that many disparity steps into one grid step
-    (bit-exact — same ops, same order); values above ~8 exceed Mosaic's
-    16 MB scoped-VMEM stack at VGA widths because unrolled iterations do
-    not share spill space, so the default stays 1.
+    The disparity sweep runs as an in-kernel ``fori_loop`` (one grid step
+    per row tile); ``d_unroll`` is the loop's unroll factor (bit-exact —
+    same ops, same order). Loop iterations share spill space, so unlike
+    grid-step unrolling any value is VMEM-safe.
     """
     if left.shape != right.shape or left.ndim != 2:
         raise ValueError("left/right must be identical-shape (H, W) images")
@@ -265,8 +280,7 @@ def disparity_pallas(
     TR = _round_up(TH + 2 * h, 32)
     Hp = n_tiles * TH + (TR - TH)
     n_d = max_disparity + 1
-    U = max(1, min(d_unroll, n_d))
-    n_dg = -(-n_d // U)
+    U = max(1, min(d_unroll, max(1, n_d - 1)))
 
     Lbuf = jnp.zeros((Hp, Wbuf), jnp.uint8)
     Lbuf = jax.lax.dynamic_update_slice(Lbuf, left, (h, h))
@@ -287,31 +301,29 @@ def disparity_pallas(
             pltpu.VMEM((TR, Wbuf), jnp.uint8),  # rt_u8 DMA stage
             pltpu.VMEM((TR, Wbuf), jnp.int32),  # lt32
             pltpu.VMEM((TR, Wbuf), jnp.int32),  # rs (shifted right image)
-            pltpu.VMEM((TH, Wout), jnp.int32),  # best_cost
-            pltpu.VMEM((TH, Wout), jnp.int32),  # best_d
+            pltpu.VMEM((TH, Wout), jnp.int32),  # best_key (cost*512 + d)
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         in_specs = [
             pl.BlockSpec(
-                (Hp, Wbuf), lambda t, d: (0, 0), memory_space=pltpu.VMEM
+                (Hp, Wbuf), lambda t: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (Hp, Wbuf), lambda t, d: (0, 0), memory_space=pltpu.VMEM
+                (Hp, Wbuf), lambda t: (0, 0), memory_space=pltpu.VMEM
             ),
         ]
         scratch = [
             pltpu.VMEM((TR, Wbuf), jnp.int32),  # lt32
             pltpu.VMEM((TR, Wbuf), jnp.int32),  # rs (shifted right image)
-            pltpu.VMEM((TH, Wout), jnp.int32),  # best_cost
-            pltpu.VMEM((TH, Wout), jnp.int32),  # best_d
+            pltpu.VMEM((TH, Wout), jnp.int32),  # best_key (cost*512 + d)
         ]
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_dg),
+        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (TH, Wout), lambda t, d: (t, 0), memory_space=pltpu.VMEM
+            (TH, Wout), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.uint8),
         scratch_shapes=scratch,
@@ -376,92 +388,99 @@ def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
             (outL, outR, lt_u8, rt_u8, lt32, rs,
              bcL, bdL, bcR, bdR, sems) = rest
         t = pl.program_id(0)
-        d = pl.program_id(1)
         row0 = t * TH
         cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
         in_image = cols < W + h
+        x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
 
-        @pl.when(d == 0)
-        def _():
-            cl = pltpu.make_async_copy(
-                l_hbm.at[pl.ds(row0, TR), :], lt_u8, sems.at[0]
-            )
-            cr = pltpu.make_async_copy(
-                r_hbm.at[pl.ds(row0, TR), :], rt_u8, sems.at[1]
-            )
-            cl.start()
-            cr.start()
-            cl.wait()
-            cr.wait()
-            lt32[:] = lt_u8[:].astype(jnp.int32)
-            rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
-            bcL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
-            bdL[:] = jnp.zeros((TH, Wout), jnp.int32)
-            bcR[:] = jnp.full((TH, Wacc), _BIG, jnp.int32)
-            bdR[:] = jnp.zeros((TH, Wacc), jnp.int32)
+        cl = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(row0, TR), :], lt_u8, sems.at[0]
+        )
+        cr = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(row0, TR), :], rt_u8, sems.at[1]
+        )
+        cl.start()
+        cr.start()
+        cl.wait()
+        cr.wait()
+        lt32[:] = lt_u8[:].astype(jnp.int32)
+        rs[:] = jnp.where(in_image, rt_u8[:].astype(jnp.int32), 0)
+        bcL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+        bdL[:] = jnp.zeros((TH, Wout), jnp.int32)
+        bcR[:] = jnp.full((TH, Wacc), _BIG, jnp.int32)
+        bdR[:] = jnp.zeros((TH, Wacc), jnp.int32)
+        if with_costs:
+            clL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+            crL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+            prevL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+
+        def body(d):
+            ad = jnp.abs(lt32[:] - rs[:])
+            colsum = _window_sum(ad, B, Wout, axis=1)
+            cost = _window_sum(colsum, B, TH, axis=0)
+
+            costL = jnp.where(x >= d + h, cost, _BIG)
+            betterL = costL < bcL[:]
             if with_costs:
-                clL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
-                crL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
-                prevL[:] = jnp.full((TH, Wout), _BIG, jnp.int32)
+                # subpixel neighbor tracking (same scheme as
+                # sad_xla.disparity_subpixel_xla): a win captures the
+                # previous step's cost as the left neighbor and invalidates
+                # the right neighbor; the step after a win supplies the
+                # right neighbor.
+                clL[:] = jnp.where(betterL, prevL[:], clL[:])
+                crL[:] = jnp.where(betterL, _BIG, crL[:])
+            bcL[:] = jnp.where(betterL, costL, bcL[:])
+            bdL[:] = jnp.where(betterL, d, bdL[:])
+            if with_costs:
+                crL[:] = jnp.where(bdL[:] == d - 1, costL, crL[:])
+                prevL[:] = costL
 
-        @pl.when(d > 0)
-        def _():
+            # Right-referenced diagonal bcR[xr] = min_d cost_d[xr + d],
+            # accumulated in DRIFTING coordinates so every step is a cheap
+            # static shift-by-one:
+            #   A_d = min(shift_right_1(A_{d-1}), cost_d)
+            # gives A_D[j] = min_d cost_d[j - (D - d)], i.e. bcR = A_D
+            # offset by the static max_disparity (one static slice at the
+            # end). costL already carries the shared validity
+            # (d <= x-h <=> xr >= h); additionally mask the width-pad
+            # columns (x >= W), whose zero-pad costs are meaningless and
+            # would drift into valid xr slots.
+            costP = jnp.concatenate(
+                [jnp.where(x < W, costL, _BIG),
+                 jnp.full((TH, Wacc - Wout), _BIG, jnp.int32)], axis=1
+            )
+            shift_c = jnp.concatenate(
+                [jnp.full((TH, 1), _BIG, jnp.int32), bcR[:, : Wacc - 1]],
+                axis=1,
+            )
+            shift_i = jnp.concatenate(
+                [jnp.zeros((TH, 1), jnp.int32), bdR[:, : Wacc - 1]], axis=1
+            )
+            takeNew = costP < shift_c
+            bcR[:] = jnp.where(takeNew, costP, shift_c)
+            bdR[:] = jnp.where(takeNew, d, shift_i)
+
+        # d = 0 hoisted (no shift); the in-kernel loop covers d = 1..maxD
+        # with an unconditional shift — same restructure as _make_kernel
+        # (one grid step per row tile, no per-disparity grid overhead).
+        body(0)
+
+        def step(d, _):
             shifted = jnp.concatenate(
                 [jnp.zeros((TR, 1), jnp.int32), rs[:, : Wbuf - 1]], axis=1
             )
             rs[:] = jnp.where(in_image, shifted, 0)
+            body(d)
+            return 0
 
-        ad = jnp.abs(lt32[:] - rs[:])
-        colsum = _window_sum(ad, B, Wout, axis=1)
-        cost = _window_sum(colsum, B, TH, axis=0)
+        jax.lax.fori_loop(1, n_d, step, 0)
 
-        x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1)
-        costL = jnp.where(x >= d + h, cost, _BIG)
-        betterL = costL < bcL[:]
+        outL[:] = bdL[:]
+        outR[:] = bdR[:, max_disparity : max_disparity + Wout]
         if with_costs:
-            # subpixel neighbor tracking (same scheme as
-            # sad_xla.disparity_subpixel_xla): a win captures the previous
-            # step's cost as the left neighbor and invalidates the right
-            # neighbor; the step after a win supplies the right neighbor.
-            clL[:] = jnp.where(betterL, prevL[:], clL[:])
-            crL[:] = jnp.where(betterL, _BIG, crL[:])
-        bcL[:] = jnp.where(betterL, costL, bcL[:])
-        bdL[:] = jnp.where(betterL, d, bdL[:])
-        if with_costs:
-            crL[:] = jnp.where(bdL[:] == d - 1, costL, crL[:])
-            prevL[:] = costL
-
-        # Right-referenced diagonal bcR[xr] = min_d cost_d[xr + d],
-        # accumulated in DRIFTING coordinates so every step is a cheap
-        # static shift-by-one:
-        #   A_d = min(shift_right_1(A_{d-1}), cost_d)
-        # gives A_D[j] = min_d cost_d[j - (D - d)], i.e. bcR = A_D offset
-        # by the static max_disparity (one static slice at the end).
-        # costL already carries the shared validity (d <= x-h <=> xr >= h);
-        # additionally mask the width-pad columns (x >= W), whose zero-pad
-        # costs are meaningless and would drift into valid xr slots.
-        costP = jnp.concatenate(
-            [jnp.where(x < W, costL, _BIG),
-             jnp.full((TH, Wacc - Wout), _BIG, jnp.int32)], axis=1
-        )
-        shift_c = jnp.concatenate(
-            [jnp.full((TH, 1), _BIG, jnp.int32), bcR[:, : Wacc - 1]], axis=1
-        )
-        shift_i = jnp.concatenate(
-            [jnp.zeros((TH, 1), jnp.int32), bdR[:, : Wacc - 1]], axis=1
-        )
-        takeNew = costP < shift_c
-        bcR[:] = jnp.where(takeNew, costP, shift_c)
-        bdR[:] = jnp.where(takeNew, d, shift_i)
-
-        @pl.when(d == n_d - 1)
-        def _():
-            outL[:] = bdL[:]
-            outR[:] = bdR[:, max_disparity : max_disparity + Wout]
-            if with_costs:
-                outCl[:] = clL[:]
-                outCc[:] = bcL[:]
-                outCr[:] = crL[:]
+            outCl[:] = clL[:]
+            outCc[:] = bcL[:]
+            outCr[:] = crL[:]
 
     return kernel
 
@@ -511,7 +530,7 @@ def disparity_pallas_lr(
         with_costs=with_costs,
     )
     n_out = 5 if with_costs else 2
-    out_spec = pl.BlockSpec((TH, Wout), lambda t, d: (t, 0),
+    out_spec = pl.BlockSpec((TH, Wout), lambda t: (t, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n_tiles * TH, Wout), jnp.int32)
     scratch = [
@@ -533,7 +552,7 @@ def disparity_pallas_lr(
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_d),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),

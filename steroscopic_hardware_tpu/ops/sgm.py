@@ -96,19 +96,21 @@ def _pick_col_tile(Dp: int, Kp: int, TS: int = 1, in_size: int = 4,
 
 
 def _bf16_exact(P1: float, P2: float) -> bool:
-    """True when every value the SGM recursion can produce is exactly
-    representable in bfloat16, so the aggregated volumes can be stored at
-    half bandwidth with bit-identical results. Census costs are integers
-    <= 24 and each path value is bounded by max(C) + P2 (the recursion
-    subtracts min_d' each step), so with integer penalties all stored
-    values are integers <= 24 + P2 (< 256 => exact in bf16's 8-bit
-    mantissa); the fwd+bwd and vertical+horizontal sums stay <= 4*(24+P2).
-    """
+    """True when every value the SGM recursion stores can be held in
+    bfloat16 with bit-identical results. Stored values are the
+    per-direction path values — integers <= 24 + P2, since census costs
+    are <= 24 and the recursion subtracts min_d' each step while adding at
+    most P2 — and their fwd+bwd 2-way sums (<= 2*(24+P2)). The
+    vertical+horizontal add happens in FLOAT32 inside the fused epilogue
+    (``_sgm_epilogue_pallas`` widens before adding), so only the 2-way sum
+    must be exact in bf16's 8-bit mantissa (integers <= 256):
+    2*(24+P2) <= 256 <=> P2 <= 104. P1's magnitude never enters the bound
+    (a +P1 candidate only wins when below the +P2 one)."""
     return (
         float(P1).is_integer()
         and float(P2).is_integer()
-        and 0 <= P1 <= 39
-        and 0 <= P2 <= 39
+        and 0 <= P1
+        and 0 <= P2 <= 104
     )
 
 
@@ -389,13 +391,16 @@ def _sgm_epilogue_pallas(agg_v, agg_ht, *, D: int, subpixel: bool,
     Dv, Hp, Wp = agg_v.shape
     assert agg_ht.shape == (Dv, Wp, Hp), (agg_v.shape, agg_ht.shape)
     assert Hp % 128 == 0 and Wp % 128 == 0, (Hp, Wp)
+    is_u8 = agg_v.dtype == jnp.uint8
     TD, TA, TB = 8, 128, 128
-    Dp = _round_up(Dv, TD)
+    # 8-bit VMEM tiles are (32, 128) on the sublane axis; the d-pad only
+    # affects block counts, and zero-pad slices are masked by d < D below.
+    Dp = _round_up(Dv, 32 if is_u8 else TD)
     if Dp != Dv:
         agg_v = jnp.pad(agg_v, ((0, Dp - Dv), (0, 0), (0, 0)))
         agg_ht = jnp.pad(agg_ht, ((0, Dp - Dv), (0, 0), (0, 0)))
     n_dg = Dp // TD
-    mm_dtype = agg_ht.dtype
+    mm_dtype = jnp.float32 if is_u8 else agg_ht.dtype
     prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
@@ -417,12 +422,19 @@ def _sgm_epilogue_pallas(agg_v, agg_ht, *, D: int, subpixel: bool,
             d = dg * TD + t
             # MXU transpose of the horizontal slice (see
             # _transpose_add_pallas for why dot-with-identity is exact).
+            # uint8 aggregates widen in VMEM via int32 (Mosaic has no
+            # direct u8<->f32 cast) — the quarter-bandwidth tier.
+            X = ht_ref[t]
+            v = v_ref[t]
+            if is_u8:
+                X = X.astype(jnp.int32).astype(jnp.float32)
+                v = v.astype(jnp.int32)
             ht = jax.lax.dot_general(
-                ht_ref[t], eye, (((0,), (0,)), ((), ())),
+                X, eye, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
-            c = v_ref[t].astype(jnp.float32) + ht
+            c = v.astype(jnp.float32) + ht
             # d-pad slices (only in the last group) must never win.
             c = jnp.where(d < D, c, jnp.float32(1e9))
             win = c < best[:]
@@ -561,10 +573,16 @@ def _sgm_impl(
         cost = _transpose_add_pallas(cost_t, interpret=interpret,
                                      out_dtype=jnp.bfloat16)
         # Integer penalties keep every aggregated value an exact small
-        # integer, so the volumes can live in bfloat16 at half the HBM
-        # bandwidth with bit-identical disparities (see _bf16_exact).
-        agg_dtype = (jnp.bfloat16 if _bf16_exact(P1, P2)
-                     else jnp.float32)
+        # integer, so the volumes can live in uint8 (quarter HBM
+        # bandwidth, see _u8_exact) or bfloat16 (half, see _bf16_exact)
+        # with bit-identical disparities. The default P1=1/P2=8 takes the
+        # uint8 tier; bf16 covers only the sliver P2=104, f32 the rest.
+        if _u8_exact(P1, P2):
+            agg_dtype = jnp.uint8
+        elif _bf16_exact(P1, P2):
+            agg_dtype = jnp.bfloat16
+        else:
+            agg_dtype = jnp.float32
         agg_v = _aggregate_axis_pallas(cost, P1, P2, axis=1,
                                        interpret=interpret,
                                        out_dtype=agg_dtype)

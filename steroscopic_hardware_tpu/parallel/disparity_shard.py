@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from steroscopic_hardware_tpu.ops.sad_pallas import disparity_pallas
 from steroscopic_hardware_tpu.ops.sad_xla import disparity_xla
 
 
@@ -45,7 +46,8 @@ def _halo_exchange(x: jnp.ndarray, h: int, axis_name: str) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "max_disparity", "mesh", "axis_name"),
+    static_argnames=("block_size", "max_disparity", "mesh", "axis_name",
+                     "backend", "interpret"),
 )
 def disparity_sharded(
     left: jnp.ndarray,
@@ -55,28 +57,56 @@ def disparity_sharded(
     max_disparity: int,
     mesh: Mesh,
     axis_name: str = "rows",
+    backend: str = "auto",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Row-sharded dense disparity over a device mesh, bit-exact with the
-    single-device kernels. H must divide evenly by the mesh axis size."""
+    single-device kernels. H must divide evenly by the mesh axis size.
+
+    Each shard runs the fused Pallas kernel (``backend="auto"`` resolves
+    to Pallas on TPU meshes — the multi-chip path runs the same
+    hand-fused kernel as the single-chip path, not the portable XLA
+    fallback). On CPU meshes ``auto`` uses the XLA kernel;
+    ``backend="pallas"`` + ``interpret=True`` forces the Pallas kernel
+    through the Mosaic interpreter so tests validate the real multi-chip
+    compute path on the 8-device virtual mesh.
+    """
     h = block_size // 2
     H = left.shape[0]
     n = mesh.shape[axis_name]
     if H % n != 0:
         raise ValueError(f"H={H} not divisible by mesh axis {axis_name}={n}")
+    if backend == "auto":
+        backend = (
+            "pallas" if mesh.devices.flat[0].platform == "tpu" else "xla"
+        )
+    if backend not in ("pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
 
     spec = P(axis_name, None)
 
     def local_fn(l_loc, r_loc):
         l_ext = _halo_exchange(l_loc, h, axis_name)
         r_ext = _halo_exchange(r_loc, h, axis_name)
-        out = disparity_xla(
-            l_ext, r_ext,
-            block_size=block_size, max_disparity=max_disparity,
-        )
+        if backend == "pallas":
+            out = disparity_pallas(
+                l_ext, r_ext,
+                block_size=block_size, max_disparity=max_disparity,
+                interpret=interpret,
+            )
+        else:
+            out = disparity_xla(
+                l_ext, r_ext,
+                block_size=block_size, max_disparity=max_disparity,
+            )
         return out[h : h + l_loc.shape[0]]
 
+    # check_vma=False: pallas_call does not annotate varying-mesh-axes
+    # metadata on its outputs; the halo exchange is the only collective and
+    # it is explicit above.
     fn = jax.shard_map(
-        local_fn, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+        local_fn, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False,
     )
     left = jax.device_put(left, NamedSharding(mesh, spec))
     right = jax.device_put(right, NamedSharding(mesh, spec))

@@ -174,11 +174,51 @@ def test_pick_col_tile_always_divides():
 
 
 def test_aggregation_bf16_exact_gate():
-    from steroscopic_hardware_tpu.ops.sgm import _bf16_exact
+    from steroscopic_hardware_tpu.ops.sgm import _bf16_exact, _u8_exact
 
     assert _bf16_exact(1.0, 8.0)
     assert not _bf16_exact(0.7, 5.3)
-    assert not _bf16_exact(1.0, 100.0)
+    # the 2-way-sum bound: 2*(24+P2) <= 256 <=> P2 <= 104 (the 4-way sum
+    # happens in f32 in the fused epilogue and does not constrain storage)
+    assert _bf16_exact(1.0, 104.0)
+    assert not _bf16_exact(1.0, 105.0)
+    assert _u8_exact(1.0, 8.0)
+    assert _u8_exact(1.0, 103.0)
+    assert not _u8_exact(1.0, 104.0)
+    assert not _u8_exact(0.7, 5.3)
+
+
+def test_aggregation_uint8_output_matches_float(rng):
+    """uint8 volume storage (the quarter-bandwidth tier selected for the
+    default P1=1/P2=8) must round-trip the exact integer aggregates."""
+    from steroscopic_hardware_tpu.ops.sgm import (
+        _aggregate_axis,
+        _aggregate_axis_pallas,
+    )
+
+    cost = rng.integers(0, 25, (17, 40, 72), dtype=np.uint8)
+    want = np.asarray(
+        _aggregate_axis(jnp.asarray(cost, jnp.float32), 1.0, 8.0, axis=1)
+    )
+    got = np.asarray(
+        _aggregate_axis_pallas(jnp.asarray(cost), 1.0, 8.0, axis=1,
+                               interpret=True, out_dtype=jnp.uint8)
+    ).astype(np.float32)
+    assert np.array_equal(got, want)
+
+
+def test_sgm_pallas_bf16_tier_end_to_end(rng):
+    """P2=104 falls outside the uint8 gate but inside the relaxed bf16
+    gate; the bf16-stored pallas path must still match XLA exactly."""
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)
+    a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, P2=104.0,
+                                 backend="xla"))
+    b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, P2=104.0,
+                                 backend="pallas", interpret=True))
+    assert np.array_equal(a, b)
 
 
 def test_aggregation_bf16_output_matches_float(rng):

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Kernel microbenchmark: on-device chained frame loop.
+
+Times the fused SAD kernel with the N-frame loop INSIDE one jitted scan
+(each frame's uint8 output feeds the next frame's left input), so a single
+dispatch covers the whole chain and neither tunnel RPC latency nor Python
+dispatch appears in the per-frame number. This is the authoritative
+device-time protocol (BENCH.md "measurement protocol").
+
+Usage: python tools/kbench.py [--frames 50] [--unrolls 1,2,4,8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from steroscopic_hardware_tpu.ops.gray import load_gray  # noqa: E402
+
+TESTDATA = "/root/reference/testdata"
+
+
+def chained(step, n):
+    def run(l, r):
+        def body(x, _):
+            return step(x, r), None
+        out, _ = jax.lax.scan(body, l, None, length=n)
+        return out
+    return jax.jit(run)
+
+
+def time_one(step, L, R, n, reps=3):
+    f = chained(step, n)
+    out = f(L, R)
+    out.block_until_ready()  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(L, R))
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--block", type=int, default=7)
+    ap.add_argument("--maxd", type=int, default=64)
+    ap.add_argument("--unrolls", default="1,2,4,8")
+    ap.add_argument("--row-tiles", default="128")
+    ap.add_argument("--size", default="640x480")
+    args = ap.parse_args()
+
+    W, H = map(int, args.size.split("x"))
+    left = load_gray(os.path.join(TESTDATA, "L_00001.png"))
+    right = load_gray(os.path.join(TESTDATA, "R_00001.png"))
+    if (H, W) != left.shape:
+        rng = np.random.default_rng(0)
+        left = rng.integers(0, 256, (H, W), dtype=np.uint8)
+        right = rng.integers(0, 256, (H, W), dtype=np.uint8)
+    L, R = jax.device_put(left), jax.device_put(right)
+
+    platform = jax.devices()[0].platform
+    print(f"platform={platform} size={W}x{H} block={args.block} "
+          f"maxd={args.maxd} frames={args.frames}")
+
+    from steroscopic_hardware_tpu.ops.sad_pallas import disparity_pallas
+
+    for rt in map(int, args.row_tiles.split(",")):
+        for u in map(int, args.unrolls.split(",")):
+            def step(l, r, u=u, rt=rt):
+                return disparity_pallas(
+                    l, r, block_size=args.block, max_disparity=args.maxd,
+                    row_tile=rt, d_unroll=u,
+                )
+            try:
+                dt = time_one(step, L, R, args.frames)
+                print(f"  rt={rt:4d} U={u:3d}: {dt*1e3:7.3f} ms/frame "
+                      f"({1/dt:8.1f} fps, {H*W/1e6/dt:7.1f} Mpix/s)")
+            except Exception as e:  # noqa: BLE001
+                print(f"  rt={rt:4d} U={u:3d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()
