@@ -14,6 +14,14 @@ import os
 import signal
 import threading
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize force-registers the TPU platform at
+    # interpreter startup; honor an explicit JAX_PLATFORMS request
+    # (e.g. cpu for tunnel-free local serving)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from steroscopic_hardware_tpu.runtime import logger as shlog
 from steroscopic_hardware_tpu.runtime.manager import CameraManager
 from steroscopic_hardware_tpu.runtime.pipeline import DepthPipeline

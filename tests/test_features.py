@@ -67,7 +67,8 @@ def test_project():
 
 def test_fast_finds_square_corners():
     img, centers, half = _square_grid()
-    xy, score, valid = fast_detect(img, threshold=20, max_keypoints=128)
+    xy, xy_sub, score, valid = fast_detect(img, threshold=20,
+                                           max_keypoints=128)
     xy, valid = np.asarray(xy), np.asarray(valid)
     # 12 squares x 4 corners
     assert valid.sum() == 4 * len(centers)
@@ -83,13 +84,13 @@ def test_fast_finds_square_corners():
 
 def test_fast_flat_image_has_no_corners():
     img = np.full((64, 64), 128, np.uint8)
-    _, score, valid = fast_detect(img, threshold=10, max_keypoints=32)
+    _, _, score, valid = fast_detect(img, threshold=10, max_keypoints=32)
     assert not np.asarray(valid).any()
 
 
 def test_fast_border_exclusion(rng):
     img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
-    xy, _, valid = fast_detect(img, threshold=10, max_keypoints=256)
+    xy, _, _, valid = fast_detect(img, threshold=10, max_keypoints=256)
     pts = np.asarray(xy)[np.asarray(valid)]
     if len(pts):
         assert pts.min() >= 16
@@ -137,3 +138,15 @@ def test_match_identity_is_perfect(rng):
                       jnp.asarray(valid), jnp.asarray(valid))
     assert np.array_equal(np.asarray(idx), np.arange(32))
     assert np.asarray(good).all()
+
+
+def test_fast_subpixel_within_half_pixel():
+    """Subpixel refinement stays within +-0.5 px of the integer maximum
+    and matches it exactly on symmetric corners."""
+    img, centers, half = _square_grid()
+    xy, xy_sub, score, valid = fast_detect(img, threshold=20,
+                                           max_keypoints=128)
+    xy, xy_sub, valid = (np.asarray(xy), np.asarray(xy_sub),
+                         np.asarray(valid))
+    d = np.abs(xy_sub - xy.astype(np.float32))[valid]
+    assert (d <= 0.5 + 1e-6).all()

@@ -18,6 +18,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize force-registers the TPU platform; honor an
+    # explicit JAX_PLATFORMS=cpu request (CLAUDE.md environment note)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 
@@ -26,6 +33,10 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--landmarks", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trajectory", default="straight",
+                    choices=["straight", "loop"])
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="Gaussian pixel-noise sigma (sensor model)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -33,13 +44,18 @@ def main():
         StereoCamera, StereoSLAM, StereoVO, ate_rmse,
     )
     from steroscopic_hardware_tpu.utils.synth import (
-        SyntheticScene, gt_positions, straight_trajectory,
+        SyntheticScene, gt_positions, loop_trajectory,
+        straight_trajectory,
     )
 
     cam = StereoCamera(fx=240.0, fy=240.0, cx=160.0, cy=120.0, baseline=0.4)
     scene = SyntheticScene(cam, n_landmarks=args.landmarks, seed=args.seed)
-    xis = straight_trajectory(args.frames)
-    frames = [scene.render_pair(xi) for xi in xis]
+    traj_fn = (loop_trajectory if args.trajectory == "loop"
+               else straight_trajectory)
+    xis = traj_fn(args.frames)
+    nrng = np.random.default_rng(args.seed + 7)
+    frames = [scene.render_pair(xi, noise=args.noise, noise_rng=nrng)
+              for xi in xis]
     gt = gt_positions(xis)
 
     kwargs = dict(block_size=7, max_disparity=32, max_keypoints=128,
@@ -49,7 +65,8 @@ def main():
         "vo+ba": StereoSLAM(cam, window=3, kf_every=2, ba_iters=5,
                             **kwargs),
         "vo+ba+loop": StereoSLAM(cam, window=3, kf_every=2, ba_iters=5,
-                                 loop_closure=True, **kwargs),
+                                 loop_closure=True, loop_min_matches=15,
+                                 loop_gap=10, **kwargs),
     }
     for name, eng in engines.items():
         t0 = time.time()
@@ -63,10 +80,12 @@ def main():
             "ate_rmse_m": round(ate, 4),
             "fps": round(args.frames / dt, 2),
             "min_inliers": int(min(vo.n_inliers[1:])),
+            "loops_closed": getattr(eng, "loops_closed", 0),
         }
         print(json.dumps(rec) if args.json else
               f"{name:12s} ATE {rec['ate_rmse_m']:.4f} m  "
-              f"{rec['fps']:5.1f} fps  min_inliers {rec['min_inliers']}")
+              f"{rec['fps']:5.1f} fps  min_inliers {rec['min_inliers']}"
+              f"  loops {rec['loops_closed']}")
 
 
 if __name__ == "__main__":
