@@ -78,15 +78,10 @@ def _frame_frontend(left, right, *, block_size, max_disparity,
         )
     else:
         from steroscopic_hardware_tpu.ops.sad_xla import (
-            disparity_raw_lr_xla,
-            disparity_subpixel_xla,
+            disparity_subpixel_lr_xla,
         )
 
-        dL = disparity_subpixel_xla(
-            left, right, block_size=block_size,
-            max_disparity=max_disparity,
-        )
-        _, dR = disparity_raw_lr_xla(
+        dL, dR = disparity_subpixel_lr_xla(
             left, right, block_size=block_size,
             max_disparity=max_disparity,
         )

@@ -42,3 +42,22 @@ def colorize_disparity(disp_u8: np.ndarray,
     if invalid_value is not None:
         rgb[disp_u8 == invalid_value] = 0
     return rgb
+
+
+def colorize_disparity_jax(disp_u8):
+    """On-device counterpart of :func:`colorize_disparity` (jnp, jittable):
+    lets the serving path fuse colorization into the disparity dispatch so
+    the visualization costs no extra host work and no extra tunnel
+    roundtrip. Same polynomial, same op order as the numpy version."""
+    import jax.numpy as jnp
+
+    x = jnp.clip(disp_u8.astype(jnp.float32) / 255.0, 0.0, 1.0)
+
+    def poly(c):
+        y = jnp.zeros_like(x)
+        for k in c[::-1]:
+            y = y * x + jnp.float32(k)
+        return y
+
+    rgb = jnp.stack([poly(_R), poly(_G), poly(_B)], -1)
+    return (jnp.clip(rgb, 0.0, 1.0) * 255 + 0.5).astype(jnp.uint8)

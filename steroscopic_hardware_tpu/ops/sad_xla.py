@@ -197,6 +197,81 @@ def parabola_refine(c_left, c_best, c_right, best_d):
 @functools.partial(
     jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
 )
+def disparity_subpixel_lr_xla(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    *,
+    block_size: int,
+    max_disparity: int,
+    d_chunk: int = 16,
+):
+    """ONE sweep producing both the subpixel left disparity and the raw
+    right-referenced disparity — the XLA counterpart of
+    ``sad_pallas.disparity_pallas_subpixel`` for the SLAM front-end
+    (which needs dR for the LR gate AND subpixel dL for triangulation;
+    running ``disparity_subpixel_xla`` + ``disparity_raw_lr_xla``
+    separately costs two passes over the cost volume and two compiles).
+    Returns (dL float32 subpixel, dR int32)."""
+    half = block_size // 2
+    W = left.shape[-1]
+    L = left.astype(jnp.int32)
+    R = right.astype(jnp.int32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    n_d = max_disparity + 1
+    n_chunks = -(-n_d // d_chunk)
+    Rpad = jnp.pad(R, [(0, 0)] * (R.ndim - 1) + [(max_disparity, 0)])
+
+    def step(carry, chunk_idx):
+        d0 = chunk_idx * d_chunk
+
+        def body(i, c):
+            bcL, bdL, c_left, c_right, prev, bcR, bdR = c
+            d = d0 + i
+            dd = jnp.minimum(d, max_disparity)
+            Rs = jax.lax.dynamic_slice_in_dim(
+                Rpad, max_disparity - dd, W, axis=-1
+            )
+            ad = jnp.abs(L - Rs)
+            ad = jnp.where(xs >= dd, ad, 0)
+            cost = _box_sum_2d(ad, half)
+            ok = d <= max_disparity
+            costL = jnp.where((xs >= d + half) & ok, cost, _BIG)
+            betterL = costL < bcL
+            c_left = jnp.where(betterL, prev, c_left)
+            c_right = jnp.where(betterL, _BIG, c_right)
+            bcL = jnp.where(betterL, costL, bcL)
+            bdL = jnp.where(betterL, d, bdL)
+            c_right = jnp.where(bdL == d - 1, costL, c_right)
+            # right-referenced diagonal: costR[xr] = cost[xr + d]
+            costP = jnp.pad(
+                cost,
+                [(0, 0)] * (cost.ndim - 1) + [(0, max_disparity)],
+                constant_values=_BIG,
+            )
+            costR = jax.lax.dynamic_slice_in_dim(costP, dd, W, axis=-1)
+            costR = jnp.where((xs >= half) & ok, costR, _BIG)
+            betterR = costR < bcR
+            bcR = jnp.where(betterR, costR, bcR)
+            bdR = jnp.where(betterR, d, bdR)
+            return bcL, bdL, c_left, c_right, costL, bcR, bdR
+
+        return jax.lax.fori_loop(0, d_chunk, body, carry), None
+
+    init = (
+        jnp.full_like(L, _BIG), jnp.zeros_like(L),
+        jnp.full_like(L, _BIG), jnp.full_like(L, _BIG),
+        jnp.full_like(L, _BIG),
+        jnp.full_like(L, _BIG), jnp.zeros_like(L),
+    )
+    (bcL, bdL, c_left, c_right, _, _, dR), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return parabola_refine(c_left, bcL, c_right, bdL), dR
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "max_disparity", "d_chunk")
+)
 def disparity_raw_lr_xla(
     left: jnp.ndarray,
     right: jnp.ndarray,

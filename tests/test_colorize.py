@@ -38,3 +38,20 @@ def test_colormap_monotone_hue_progression():
     rgb = colorize_disparity(d)
     red = rgb[0, :, 0].astype(int)
     assert red[250] > red[5]
+
+
+def test_colorize_jax_matches_numpy():
+    """The on-device colorize (fused into the serving dispatch) must match
+    the numpy reference to within 1 LSB per channel (same polynomial,
+    same op order; float assoc. differences only)."""
+    import jax.numpy as jnp
+
+    from steroscopic_hardware_tpu.ops.colorize import (
+        colorize_disparity,
+        colorize_disparity_jax,
+    )
+
+    d = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    want = colorize_disparity(d).astype(np.int32)
+    got = np.asarray(colorize_disparity_jax(jnp.asarray(d))).astype(np.int32)
+    assert np.abs(want - got).max() <= 1

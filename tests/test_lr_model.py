@@ -154,3 +154,29 @@ def test_subpixel_disparity(rng):
             assert abs(sub[y, x] - want) < 1e-3, (y, x, sub[y, x], want)
             checked += 1
     assert checked >= 5
+
+
+def test_subpixel_lr_fused_matches_separate(rng):
+    """The fused subpixel+LR sweep (SLAM front-end) must agree with the
+    separate subpixel and raw-LR sweeps exactly."""
+    import jax.numpy as jnp
+
+    from steroscopic_hardware_tpu.ops.sad_xla import (
+        disparity_raw_lr_xla,
+        disparity_subpixel_lr_xla,
+        disparity_subpixel_xla,
+    )
+
+    left = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+    right = np.roll(left, -5, axis=1)
+    dL_f, dR_f = disparity_subpixel_lr_xla(
+        jnp.asarray(left), jnp.asarray(right), block_size=7,
+        max_disparity=16)
+    dL_s = disparity_subpixel_xla(
+        jnp.asarray(left), jnp.asarray(right), block_size=7,
+        max_disparity=16)
+    _, dR_s = disparity_raw_lr_xla(
+        jnp.asarray(left), jnp.asarray(right), block_size=7,
+        max_disparity=16)
+    assert np.array_equal(np.asarray(dL_f), np.asarray(dL_s))
+    assert np.array_equal(np.asarray(dR_f), np.asarray(dR_s))

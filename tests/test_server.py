@@ -198,7 +198,10 @@ def test_slam_endpoint(rng):
     try:
         t0 = time.time()
         frames = 0
-        while time.time() - t0 < 30:
+        # 90 s budget: the first two frames pay the one-time jit compiles
+        # of the whole front-end + windowed BA (~27 s on the CPU mesh,
+        # more under parallel test load); steady state is ~0.1 s/frame
+        while time.time() - t0 < 90:
             status, body, _ = _get(base + "/slam")
             d = json.loads(body)
             frames = d.get("frames", 0)
