@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--right", default=None, help="right boot image (PNG)")
     ap.add_argument("--fps", type=float, default=10.0)
     ap.add_argument("--lr-check", action="store_true")
+    ap.add_argument("--no-open", dest="open_browser", action="store_false",
+                    default=True,
+                    help="do not auto-open the live view in a browser "
+                         "(reference main.go:25-40 opens by default)")
     ap.add_argument(
         "--backend", default="auto", choices=["auto", "pallas", "xla", "sgm"],
         help="compute backend (xla = portable escape hatch when the TPU "
@@ -181,7 +185,20 @@ def main(argv=None):
             daemon=True,
         ).start()
         log.info("prewarming %s for shape %s", p.to_json(), shape)
-    log.info("live view: http://%s:%d/live", args.host, server.port)
+    url = f"http://{args.host}:{server.port}/live"
+    log.info("live view: %s", url)
+    if args.open_browser:
+        # browser auto-open on start (reference main.go:25-40) —
+        # best-effort, silent on headless hosts
+        def _open():
+            import webbrowser
+
+            try:
+                webbrowser.open(url)
+            except Exception:
+                pass
+
+        threading.Thread(target=_open, daemon=True).start()
 
     stop = threading.Event()
     for sig in (signal.SIGINT, signal.SIGTERM):

@@ -17,6 +17,23 @@ import numpy as np
 from steroscopic_hardware_tpu.runtime import wire
 from steroscopic_hardware_tpu.runtime.logger import get_logger
 
+# Live-emitter registry: the TCP analog of the reference's serial-port
+# enumeration (cmd/handlers/ports.go:14-61). Emitters register on start
+# and deregister on close so GET /ports can advertise real, currently
+# listening ingest endpoints instead of a stub.
+_registry: dict[int, "CameraEmitter"] = {}
+_registry_lock = threading.Lock()
+
+
+def list_emitters() -> list[dict]:
+    """Snapshot of live emitters: [{host, port, codec, fps}]."""
+    with _registry_lock:
+        ems = list(_registry.values())
+    return [
+        {"host": e.host, "port": e.port, "codec": e.codec, "fps": e.fps}
+        for e in ems
+    ]
+
 
 class CameraEmitter:
     """TCP server that streams frames from ``frame_fn(index) -> ndarray``
@@ -26,6 +43,7 @@ class CameraEmitter:
                  codec: int = wire.CODEC_RAW, fps: float = 30.0,
                  max_frames: int | None = None):
         self.frame_fn = frame_fn
+        self.host = host
         self.codec = codec
         self.fps = fps
         self.max_frames = max_frames
@@ -40,10 +58,14 @@ class CameraEmitter:
 
     def start(self):
         self._thread.start()
+        with _registry_lock:
+            _registry[id(self)] = self
         return self
 
     def close(self):
         self._closed.set()
+        with _registry_lock:
+            _registry.pop(id(self), None)
         try:
             self._sock.close()
         except OSError:

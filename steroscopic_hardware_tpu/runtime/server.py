@@ -80,8 +80,26 @@ figure{margin:0}figcaption{text-align:center;padding:.3rem;color:#aaa}
 img{max-width:30vw;border:1px solid #333;background:#000}
 label{display:block;margin-top:.8rem}
 #metrics{white-space:pre;font-family:monospace;color:#8c8;margin-top:1rem}
+#health.ok{color:#6d6}#health.bad{color:#e66}
+#loglines{white-space:pre;font-family:monospace;color:#aa8;
+ max-height:14rem;overflow:auto}
+.meta{color:#888;font-size:.85rem}
 </style></head><body>
-<h2>stereo depth — live</h2>
+<h2>stereo depth — live
+ <span class="meta">v{VERSION}</span>
+ <span id="health" class="ok">Healthy</span></h2>
+<script>
+// health poller (1 s), reference app.templ:100-127
+setInterval(async()=>{
+ const el=document.getElementById('health');
+ const t=new Date().toLocaleTimeString();
+ try{
+  const r=await fetch('/checkhealth'+location.search);
+  el.textContent=(r.status==200?'Healthy@':'Unhealthy@')+t;
+  el.className=r.status==200?'ok':'bad';
+ }catch(e){el.textContent='Unhealthy@'+t;el.className='bad';}
+},1000);
+</script>
 <div class="row">
 <figure><img id="left"><figcaption>left</figcaption></figure>
 <figure><img id="right"><figcaption>right</figcaption></figure>
@@ -116,6 +134,34 @@ document.getElementById('out').src=api('/mjpeg/depth');
   <option value="1">range</option><option value="2">lzma</option></select>
  <button type="submit">connect camera</button>
 </form>
+<div id="ports" class="meta"></div>
+<script>
+// ingest endpoint discovery (reference ports.go:14-61 analog)
+async function loadPorts(){
+ try{const r=await fetch(api('/ports'));const d=await r.json();
+  document.getElementById('ports').textContent = d.ports.length
+   ? 'discovered: '+d.ports.map(p=>
+       (p.kind||'')+' '+p.host+':'+p.port+(p.slot?' ['+p.slot+']':''))
+       .join(', ')
+   : 'no live ingest endpoints ('+d.hint+')';}catch(e){}}
+loadPorts();setInterval(loadPorts,5000);
+</script>
+</details>
+<details id="statuspanel"><summary>status log</summary>
+<button id="logrefresh">refresh</button>
+<div id="loglines"></div>
+<script>
+// collapsible status/log panel backed by the ring buffer (/exit),
+// reference app.templ:145+
+async function loadLog(){
+ try{const r=await fetch(api('/exit'));
+  document.getElementById('loglines').textContent=await r.text();}
+ catch(e){}}
+document.getElementById('statuspanel')
+ .addEventListener('toggle',e=>{if(e.target.open)loadLog();});
+document.getElementById('logrefresh')
+ .addEventListener('click',loadLog);
+</script>
 </details>
 <div id="metrics"></div>
 <script>
@@ -276,7 +322,13 @@ def _make_handler(ctx: AppContext):
             if path == "/":
                 self._send(302, b"", extra={"Location": "/live"})
             elif path == "/live":
-                self._send(200, _LIVE_HTML.encode(),
+                from steroscopic_hardware_tpu.version import __version__
+
+                # build-version display (reference app.templ:92-98 reads
+                # debug.ReadBuildInfo; here the package version is
+                # stamped server-side)
+                page = _LIVE_HTML.replace("{VERSION}", __version__)
+                self._send(200, page.encode(),
                            "text/html; charset=utf-8")
             elif path.startswith("/stream/"):
                 self._stream_once(path.split("/")[-1])
@@ -307,8 +359,29 @@ def _make_handler(ctx: AppContext):
             elif path == "/exit":
                 self._send(200, shlog.dump_buffer())
             elif path == "/ports":
-                # UART enumeration equivalent: advertise TCP ingest targets
-                self._json({"ports": [], "hint":
+                # TCP analog of the reference's real serial-port
+                # enumeration (cmd/handlers/ports.go:14-61): advertise
+                # live in-process CameraEmitters plus the TCP endpoints
+                # of every currently configured source.
+                from steroscopic_hardware_tpu.runtime.emitter import (
+                    list_emitters,
+                )
+                from steroscopic_hardware_tpu.runtime.sources import (
+                    TcpSource,
+                )
+
+                ports = [dict(kind="emitter", **e)
+                         for e in list_emitters()]
+                with ctx.manager._lock:
+                    srcs = dict(ctx.manager._sources)
+                for slot, s in srcs.items():
+                    if isinstance(s, TcpSource):
+                        ports.append({
+                            "kind": "configured", "slot": slot,
+                            "host": s.host, "port": s.port,
+                            "closed": s.closed,
+                        })
+                self._json({"ports": ports, "hint":
                             "POST /left/configure host=<h> port=<p>"})
             else:
                 self._send(404, b"not found")

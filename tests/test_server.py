@@ -233,3 +233,51 @@ def test_colorized_depth_stream(server):
             time.sleep(0.1)
     img = read_png(body)
     assert img.shape == (24, 48, 3)
+
+
+def test_live_page_operational_affordances(server):
+    """UI parity with the reference shell (app.templ:92-127,145+):
+    version stamp, 1 s health poller, collapsible status-log panel, and
+    ingest endpoint discovery."""
+    from steroscopic_hardware_tpu.version import __version__
+
+    status, body, _ = _get(server + "/live")
+    assert status == 200
+    page = body.decode()
+    assert f"v{__version__}" in page          # build-version display
+    assert "/checkhealth" in page             # health poller wiring
+    assert 'id="health"' in page
+    assert 'id="loglines"' in page            # status/log panel (/exit)
+    assert 'id="ports"' in page               # endpoint discovery
+
+
+def test_ports_advertises_emitters_and_configured_sources(server, rng):
+    """GET /ports — the TCP analog of the reference's real serial
+    enumeration (cmd/handlers/ports.go:14-61): live CameraEmitters and
+    configured TcpSource endpoints appear; the stub '[]' days are over."""
+    from steroscopic_hardware_tpu.runtime import wire
+
+    base = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+    em = CameraEmitter(lambda n: base, fps=50.0,
+                       codec=wire.CODEC_LZMA).start()
+    try:
+        status, body, _ = _get(server + "/ports")
+        assert status == 200
+        d = json.loads(body)
+        em_rows = [p for p in d["ports"] if p["kind"] == "emitter"
+                   and p["port"] == em.port]
+        assert em_rows and em_rows[0]["codec"] == wire.CODEC_LZMA
+        # configure a TCP source pointing at the emitter -> appears too
+        status, _b = _post(
+            server + "/left/configure",
+            f"host=127.0.0.1&port={em.port}".encode(),
+            "application/x-www-form-urlencoded",
+        )
+        assert status == 200
+        status, body, _ = _get(server + "/ports")
+        d = json.loads(body)
+        cfg = [p for p in d["ports"] if p["kind"] == "configured"]
+        assert any(p["port"] == em.port and p["slot"] == "left"
+                   for p in cfg)
+    finally:
+        em.close()
