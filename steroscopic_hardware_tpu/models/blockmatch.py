@@ -281,6 +281,23 @@ class SGMMatcher:
             subpixel=self.subpixel,
         ))
 
+    def compute_checked(self, left, right):
+        """SGM disparity + left-right consistency mask (diagonal right
+        argmin over the same aggregated volume) — drop-in for the
+        pipeline's ``lr_check`` mode, like BlockMatcher's."""
+        from steroscopic_hardware_tpu.ops.sgm import sgm_lr_checked
+
+        p = self.store.get()
+        disp, valid = sgm_lr_checked(
+            jax.numpy.asarray(left), jax.numpy.asarray(right),
+            max_disparity=p.max_disparity, P1=self.p1, P2=self.p2,
+        )
+        out = jax.numpy.clip(
+            disp * (255.0 / p.max_disparity) + 0.5, 0, 255
+        ).astype(jax.numpy.uint8)
+        out = jax.numpy.where(valid, out, jax.numpy.uint8(255))
+        return np.asarray(out), np.asarray(valid)
+
 
 def sweep(
     left,

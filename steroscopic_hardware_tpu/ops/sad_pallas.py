@@ -110,7 +110,11 @@ def _window_sum(a, B: int, out_len: int, axis: int):
 
 
 def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
-                 U=1, hbm_inputs=True):
+                 U=1, hbm_inputs=True, n_t=None, Hp=None):
+    """``n_t``/``Hp``: tiles per frame and padded frame row stride — the
+    1D grid enumerates (frame, tile) pairs so a whole frame BATCH runs in
+    one launch (grid size F * n_t); single-frame calls pass n_t == grid
+    size, making the frame index identically 0."""
     h = block_size // 2
     B = 2 * h + 1
     n_d = max_disparity + 1
@@ -192,9 +196,14 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
         best_d = jax.lax.rem(best_key[:], 512)
         out_ref[:] = ((best_d * 255) // max_disparity).astype(jnp.uint8)
 
+    def _row0():
+        g = pl.program_id(0)
+        if n_t is None:
+            return g * TH
+        return (g // n_t) * Hp + (g % n_t) * TH
+
     def kernel_vmem(l_ref, r_ref, out_ref, lt32, rs, best_key):
-        t = pl.program_id(0)
-        row0 = t * TH
+        row0 = _row0()
         cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
         in_image = cols < W + h
 
@@ -208,8 +217,7 @@ def _make_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
     def kernel(
         l_hbm, r_hbm, out_ref, lt_u8, rt_u8, lt32, rs, best_key, sems
     ):
-        t = pl.program_id(0)
-        row0 = t * TH
+        row0 = _row0()
         cols = jax.lax.broadcasted_iota(jnp.int32, (TR, Wbuf), 1)
         # Out-of-image columns (buffer col j >= W + h) must read as zero so
         # the reference's truncated right windows see zeros; applying the
@@ -335,7 +343,7 @@ def disparity_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_size", "max_disparity", "row_tile", "interpret"
+        "block_size", "max_disparity", "row_tile", "d_unroll", "interpret"
     ),
 )
 def disparity_pallas_batch(
@@ -344,34 +352,65 @@ def disparity_pallas_batch(
     *,
     block_size: int,
     max_disparity: int,
-    row_tile: int = 128,
+    row_tile: int = 256,
+    d_unroll: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched disparity for multi-stream serving: (F, H, W) uint8 pairs.
+    """Batched disparity for multi-stream serving: (F, H, W) uint8 pairs
+    in ONE kernel launch, bit-identical per frame to separate calls.
 
-    Frames are stacked vertically with ``h`` zero gap rows and processed in
-    ONE kernel launch; zero gap rows contribute exactly what the
-    reference's row clamping contributes (nothing), so each frame's result
-    is bit-identical to a separate call, while the d-sweep's fixed per-step
-    costs amortize across the whole batch.
+    Native batch path: the grid enumerates (frame, tile) pairs over a
+    single (F * Hp, Wbuf) buffer built with ONE fused pad + free reshape.
+    (The round 1 version stacked frames vertically with per-frame
+    dynamic-update-slices and restacked the outputs — ~0.5 ms/frame of
+    pure data movement that capped batch-axis scaling at ~45%
+    efficiency.) Per-frame zero padding gives exactly the reference's
+    border truncation, so frames cannot bleed into each other.
     """
     if lefts.ndim != 3 or lefts.shape != rights.shape:
         raise ValueError("expected identical (F, H, W) uint8 stacks")
     F, H, W = lefts.shape
     h = block_size // 2
-    gap = h
-    stride = H + gap
-    Hs = F * stride - gap if gap else F * H
-    Ls = jnp.zeros((Hs, W), jnp.uint8)
-    Rs_ = jnp.zeros((Hs, W), jnp.uint8)
-    for f in range(F):
-        Ls = jax.lax.dynamic_update_slice(Ls, lefts[f], (f * stride, 0))
-        Rs_ = jax.lax.dynamic_update_slice(Rs_, rights[f], (f * stride, 0))
-    out = disparity_pallas(
-        Ls, Rs_, block_size=block_size, max_disparity=max_disparity,
-        row_tile=row_tile, interpret=interpret,
+    TH = _pick_row_tile(row_tile, H, W, h)
+    n_t = -(-H // TH)
+    Wout = _round_up(W, 128)
+    Wbuf = _round_up(Wout + 2 * h, 128)
+    TR = _round_up(TH + 2 * h, 32)
+    Hp = n_t * TH + (TR - TH)
+    n_d = max_disparity + 1
+    U = max(1, min(d_unroll, max(1, n_d - 1)))
+
+    Lbuf = jnp.pad(lefts, ((0, 0), (h, Hp - H - h), (h, Wbuf - W - h))
+                   ).reshape(F * Hp, Wbuf)
+    Rbuf = jnp.pad(rights, ((0, 0), (h, Hp - H - h), (h, Wbuf - W - h))
+                   ).reshape(F * Hp, Wbuf)
+
+    kernel = _make_kernel(
+        H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,
+        U=U, hbm_inputs=True, n_t=n_t, Hp=Hp,
     )
-    return jnp.stack([out[f * stride : f * stride + H] for f in range(F)])
+    out = pl.pallas_call(
+        kernel,
+        grid=(F * n_t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TH, Wout), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((F * n_t * TH, Wout), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((TR, Wbuf), jnp.uint8),
+            pltpu.VMEM((TR, Wbuf), jnp.uint8),
+            pltpu.VMEM((TR, Wbuf), jnp.int32),
+            pltpu.VMEM((TR, Wbuf), jnp.int32),
+            pltpu.VMEM((TH, Wout), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(Lbuf, Rbuf)
+    return out.reshape(F, n_t * TH, Wout)[:, :H, :W]
 
 
 def _make_lr_kernel(H, W, block_size, max_disparity, TH, Wout, Wbuf, TR,

@@ -72,3 +72,26 @@ def test_sharded_large_block_spanning_shards(rng):
         )
     )
     assert np.array_equal(want, got)
+
+
+def test_sgm_sharded_direction_parallel_bitexact(rng):
+    """Direction-parallel SGM over a 2-device axis must be bit-identical
+    to the single-device xla engine (the two-term f32 psum commutes
+    exactly)."""
+    from steroscopic_hardware_tpu.ops.sgm import sgm_disparity
+    from steroscopic_hardware_tpu.parallel.sgm_shard import (
+        sgm_disparity_sharded,
+    )
+
+    mesh = make_mesh(n_rows=2)
+    left = rng.integers(0, 256, (48, 96), dtype=np.uint8)
+    right = np.clip(
+        np.roll(left, -4, axis=1).astype(int)
+        + rng.integers(-2, 3, (48, 96)),
+        0, 255,
+    ).astype(np.uint8)
+    want = np.asarray(sgm_disparity(left, right, max_disparity=16,
+                                    backend="xla"))
+    got = np.asarray(sgm_disparity_sharded(
+        left, right, max_disparity=16, mesh=mesh))
+    assert np.array_equal(want, got)

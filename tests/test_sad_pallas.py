@@ -130,3 +130,26 @@ def test_d_unroll_bit_exact(rng):
             row_tile=32, d_unroll=u, interpret=True,
         )
         assert np.array_equal(np.asarray(got), ref), u
+
+
+def test_batch_matches_single(rng):
+    """The native batched launch (frame x tile grid) must be bit-identical
+    per frame to separate single-frame calls."""
+    from steroscopic_hardware_tpu.ops.sad_pallas import (
+        disparity_pallas_batch,
+    )
+
+    F, H, W = 3, 37, 53
+    lefts = rng.integers(0, 256, (F, H, W), dtype=np.uint8)
+    rights = np.clip(
+        np.roll(lefts, -4, axis=2).astype(int)
+        + rng.integers(-2, 3, (F, H, W)),
+        0, 255,
+    ).astype(np.uint8)
+    got = np.asarray(disparity_pallas_batch(
+        lefts, rights, block_size=7, max_disparity=20, row_tile=32,
+        interpret=True,
+    ))
+    for f in range(F):
+        want = disparity_numpy(lefts[f], rights[f], 7, 20)
+        assert np.array_equal(got[f], want), f

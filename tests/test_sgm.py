@@ -320,3 +320,65 @@ def test_sgm_fused_epilogue_winner_at_sweep_borders(rng):
                                      interpret=True))
         assert np.array_equal(a, b), shift
         assert np.isfinite(b).all()
+
+
+def test_sgm_lr_left_matches_plain(rng):
+    """sgm_disparity_lr's left map must equal sgm_disparity exactly
+    (same volume, same argmin/subpixel math)."""
+    from steroscopic_hardware_tpu.ops.sgm import (
+        sgm_disparity,
+        sgm_disparity_lr,
+    )
+
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)
+    a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                 max_disparity=16, backend="xla"))
+    b, dR = sgm_disparity_lr(jnp.asarray(left), jnp.asarray(right),
+                             max_disparity=16, backend="xla")
+    assert np.array_equal(a, np.asarray(b))
+    # the right map recovers the same shift over the interior
+    assert np.abs(np.asarray(dR)[10:-10, 10:-30] - 3).mean() < 0.5
+
+
+def test_sgm_lr_pallas_matches_xla(rng):
+    from steroscopic_hardware_tpu.ops.sgm import sgm_disparity_lr
+
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)
+    aL, aR = sgm_disparity_lr(jnp.asarray(left), jnp.asarray(right),
+                              max_disparity=16, backend="xla")
+    bL, bR = sgm_disparity_lr(jnp.asarray(left), jnp.asarray(right),
+                              max_disparity=16, backend="pallas",
+                              interpret=True)
+    assert np.array_equal(np.asarray(aL), np.asarray(bL))
+    assert np.array_equal(np.asarray(aR), np.asarray(bR))
+
+
+def test_sgm_lr_checked_gates_mismatches(rng):
+    """On a half-consistent scene the LR gate must keep consistent pixels
+    and reject the uncorrelated half."""
+    from steroscopic_hardware_tpu.ops.sgm import sgm_lr_checked
+
+    left = rng.integers(0, 256, (48, 96), dtype=np.uint8)
+    right = np.roll(left, -4, axis=1)
+    # destroy correspondence in the right half of the right image
+    right[:, 48:] = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    disp, valid = sgm_lr_checked(
+        jnp.asarray(left), jnp.asarray(right), max_disparity=16,
+        backend="xla")
+    valid = np.asarray(valid)
+    assert valid[8:-8, 8:40].mean() > 0.8      # consistent region survives
+    assert valid[8:-8, 56:-8].mean() < 0.5     # uncorrelated region gated
+
+
+def test_sgm_matcher_compute_checked(rng):
+    from steroscopic_hardware_tpu.models.blockmatch import SGMMatcher
+    from steroscopic_hardware_tpu.utils.params import Parameters
+
+    m = SGMMatcher(params=Parameters(7, 16))
+    left = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    right = np.roll(left, -4, axis=1)
+    out, valid = m.compute_checked(left, right)
+    assert out.dtype == np.uint8 and out.shape == left.shape
+    assert valid.dtype == bool and valid[8:-8, 8:40].mean() > 0.7

@@ -29,6 +29,53 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 import numpy as np
 
 
+def bench_batch_axis(args):
+    """Batch-axis scaling on ONE chip (the measurable half of config #5
+    in a single-chip environment): frames per launch F = 1..8, on-device
+    chained timing (see bench.py protocol) so tunnel RPC latency cannot
+    contaminate the numbers."""
+    import jax.numpy as jnp
+
+    from steroscopic_hardware_tpu.ops.sad_pallas import (
+        disparity_pallas_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    base = None
+    for F in (1, 2, 4, 8):
+        lefts = rng.integers(0, 256, (F, args.height, args.width),
+                             dtype=np.uint8)
+        rights = rng.integers(0, 256, (F, args.height, args.width),
+                              dtype=np.uint8)
+
+        def chained(ls, rs):
+            def body(x, _):
+                return disparity_pallas_batch(
+                    x, rs, block_size=args.block, max_disparity=args.disp
+                ), None
+            out, _ = jax.lax.scan(body, ls, None, length=args.n)
+            return out
+
+        f = jax.jit(chained)
+        L, R = jax.device_put(lefts), jax.device_put(rights)
+        np.asarray(f(L, R))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(L, R))
+            best = min(best, (time.perf_counter() - t0) / args.n)
+        fps = F / best
+        if base is None:
+            base = fps
+        # batch amortization gain on ONE chip: throughput relative to
+        # batch=1 (not divided by F — frames share the chip, they are
+        # not extra devices)
+        gain = fps / base * 100
+        print(f"batch={F}  {best * 1000 / F:7.3f} ms/frame  "
+              f"{fps:8.1f} fps  {args.height * args.width * F / 1e6 / best:7.1f} "
+              f"Mpix/s  vs batch=1 {gain:5.1f}%")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=480)
@@ -36,7 +83,13 @@ def main():
     ap.add_argument("--block", type=int, default=7)
     ap.add_argument("--disp", type=int, default=64)
     ap.add_argument("-n", type=int, default=10)
+    ap.add_argument("--batch-axis", action="store_true",
+                    help="single-chip batch-axis scaling (real TPU)")
     args = ap.parse_args()
+
+    if args.batch_axis:
+        bench_batch_axis(args)
+        return
 
     from steroscopic_hardware_tpu.parallel.mesh import make_mesh
     from steroscopic_hardware_tpu.parallel.disparity_shard import (

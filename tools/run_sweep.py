@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--blocks", default=",".join(str(b) for b in range(3, 32, 2)))
     ap.add_argument("--disps", default=",".join(str(d) for d in range(16, 257, 16)))
     ap.add_argument("--lr-check", action="store_true")
+    ap.add_argument("--engine", default="sad", choices=["sad", "sgm"],
+                    help="sad = block matching (block x disp grid); "
+                         "sgm = semi-global matching (disp grid; block "
+                         "sizes are ignored — SGM has none)")
     ap.add_argument("-n", type=int, default=5, help="timed reps per config")
     ap.add_argument("--json", action="store_true", help="JSON-lines output")
     args = ap.parse_args()
@@ -39,7 +43,10 @@ def main():
 
     from steroscopic_hardware_tpu.ops.gray import load_gray
     from steroscopic_hardware_tpu.ops.lr_check import disparity_lr_checked
-    from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
+    from steroscopic_hardware_tpu.models.blockmatch import (
+        BlockMatcher,
+        SGMMatcher,
+    )
     from steroscopic_hardware_tpu.utils.params import Parameters
 
     pairs = {}
@@ -49,12 +56,16 @@ def main():
             jax.device_put(load_gray(f"{TESTDATA}/R_{p}.png")),
         )
 
-    matcher = BlockMatcher(backend="auto")
-    blocks = [int(b) for b in args.blocks.split(",")]
+    if args.engine == "sgm":
+        matcher = SGMMatcher()
+        blocks = [0]  # SGM has no block size; one row per disparity
+    else:
+        matcher = BlockMatcher(backend="auto")
+        blocks = [int(b) for b in args.blocks.split(",")]
     disps = [int(d) for d in args.disps.split(",")]
     for b in blocks:
         for d in disps:
-            matcher.set_params(Parameters(b, d))
+            matcher.set_params(Parameters(b or 7, d))
             for name, (L, R) in pairs.items():
                 t_c = time.time()
                 out = matcher.compute(L, R)  # compile + first run
@@ -64,21 +75,25 @@ def main():
                     out = matcher.compute(L, R)
                 dt = (time.time() - t0) / args.n
                 rec = {
-                    "pair": name, "block": b, "disp": d,
+                    "pair": name, "engine": args.engine,
+                    "block": b, "disp": d,
                     "ms": round(dt * 1000, 2),
                     "mpix_s": round(out.size / 1e6 / dt, 1),
                     "compile_s": round(compile_s, 1),
                 }
                 if args.lr_check:
-                    disp_m, valid = disparity_lr_checked(
-                        L, R, block_size=b, max_disparity=d
-                    )
+                    if args.engine == "sgm":
+                        _, valid = matcher.compute_checked(L, R)
+                    else:
+                        _, valid = disparity_lr_checked(
+                            L, R, block_size=b, max_disparity=d
+                        )
                     rec["lr_valid_frac"] = round(
                         float(np.asarray(valid).mean()), 3
                     )
                 print(json.dumps(rec) if args.json else
-                      f"pair {name} b={b:2d} D={d:3d}: {rec['ms']:8.2f} ms "
-                      f"{rec['mpix_s']:7.1f} Mpix/s"
+                      f"pair {name} {args.engine} b={b:2d} D={d:3d}: "
+                      f"{rec['ms']:8.2f} ms {rec['mpix_s']:7.1f} Mpix/s"
                       + (f"  lr_valid={rec.get('lr_valid_frac')}"
                          if args.lr_check else ""))
 
