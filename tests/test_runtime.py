@@ -107,6 +107,34 @@ def test_pipeline_end_to_end(rng):
         mgr.close_all()
 
 
+def test_pipeline_batches_backlogged_frames(rng):
+    """The serving loop must micro-batch the pairs that arrived while the
+    previous batch was in flight (collector thread + power-of-two newest
+    selection) and publish a depth for every batched frame."""
+    mgr = CameraManager()
+    mgr.set_source("left", SyntheticSource(
+        mgr.bus, "left", shape=(32, 64), fps=200.0, shift=0, seed=7))
+    mgr.set_source("right", SyntheticSource(
+        mgr.bus, "right", shape=(32, 64), fps=200.0, shift=4, seed=7))
+    matcher = BlockMatcher(backend="xla")
+    matcher.set_params(Parameters(7, 16))
+    pipe = DepthPipeline(mgr.bus, matcher).start()
+    try:
+        # at 200 Hz sources vs ~10 Hz XLA-on-CPU compute, backlog forms
+        # and batches must exceed 1 (frames counter advances per batched
+        # frame; out seq advances per publish)
+        assert _wait(lambda: pipe.frames >= 6, timeout=30.0)
+        assert mgr.bus.seq("out") >= 6
+        m = pipe.metrics()
+        assert m["frames"] >= 6 and m["fps"] > 0
+        # colorized viz published for the newest frame of each batch
+        assert mgr.bus.latest("depth") is not None
+        assert mgr.bus.latest("depth").data.shape == (32, 64, 3)
+    finally:
+        pipe.close()
+        mgr.close_all()
+
+
 # -- wire protocol ------------------------------------------------------------
 
 @pytest.mark.parametrize("codec", [wire.CODEC_RAW, wire.CODEC_RANGE,
