@@ -83,6 +83,11 @@ def main(argv=None):
     ap.add_argument("--max-stream-clients", type=int, default=32,
                     help="cap on concurrent /mjpeg push streams "
                          "(503 beyond)")
+    ap.add_argument("--preview-scale", type=int, default=1,
+                    help="downscale the depth preview k x k ON DEVICE and "
+                         "fetch only the newest depth per batch — cuts "
+                         "device->host traffic ~14x at batch 8, for "
+                         "bandwidth-starved links (e.g. a tunnel)")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile the current parameter bucket in the "
                          "background at startup (hides first-frame "
@@ -111,7 +116,8 @@ def main(argv=None):
 
     matcher = make_matcher()
     pipeline = DepthPipeline(manager.bus, matcher, lr_check=args.lr_check,
-                             rectifier=rectifier)
+                             rectifier=rectifier,
+                             preview_scale=args.preview_scale)
     slam_pipeline = None
     if args.slam:
         from steroscopic_hardware_tpu.models.slam import StereoCamera
@@ -143,7 +149,7 @@ def main(argv=None):
             raise SystemExit(f"bad --rig name {name!r}")
         rigs[name] = DepthPipeline(
             manager.bus, make_matcher(), lr_check=args.lr_check,
-            rectifier=rectifier,
+            rectifier=rectifier, preview_scale=args.preview_scale,
             left_slot=f"{name}.left", right_slot=f"{name}.right",
             out_slot=f"{name}.out", depth_slot=f"{name}.depth",
         )

@@ -44,6 +44,21 @@ def colorize_disparity(disp_u8: np.ndarray,
     return rgb
 
 
+def downscale_u8_jax(img_u8, k: int):
+    """On-device k x k mean-pool of a uint8 (H, W) image (rounded integer
+    mean, deterministic). Ragged borders are cropped — previews don't need
+    them, and static shapes keep the jit bucket stable."""
+    import jax.numpy as jnp
+
+    if k == 1:
+        return img_u8
+    H, W = img_u8.shape
+    Hs, Ws = H // k, W // k
+    x = img_u8[: Hs * k, : Ws * k].astype(jnp.int32)
+    s = x.reshape(Hs, k, Ws, k).sum((1, 3))
+    return ((s + k * k // 2) // (k * k)).astype(jnp.uint8)
+
+
 def colorize_disparity_jax(disp_u8):
     """On-device counterpart of :func:`colorize_disparity` (jnp, jittable):
     lets the serving path fuse colorization into the disparity dispatch so

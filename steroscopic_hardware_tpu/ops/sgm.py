@@ -153,12 +153,16 @@ def _vload(x):
 def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
                            out_dtype=jnp.float32):
     """Pallas-TPU counterpart of :func:`_aggregate_axis`: the same
-    direction-batched recursion, but stepped by the Pallas grid instead of
-    ``lax.scan`` — each grid step DMAs one (D, K) cost slice per direction
-    (auto-double-buffered by the pipeline) and updates a VMEM carry, so the
-    per-step cost is a handful of VPU ops instead of an XLA loop iteration.
-    The backward direction rides the same grid with a mirrored index map
-    (slice S-1-s), so both directions cost one pass over HBM.
+    direction-batched recursion, but run as ONE grid step per lane tile
+    with the scan over S living in-kernel — a ``fori_loop`` that manually
+    DMAs (TS, D, K) chunks HBM->VMEM double-buffered, updates the VMEM
+    recursion carry, and DMAs results back. The earlier grid-stepped form
+    (one grid step per TS-row block) paid a fixed DMA-issue/sequencing
+    cost of ~15-30 us per step on v5e — the same overhead the SAD kernel
+    shed in its round-2 in-kernel-sweep restructure; here the issue
+    latency hides under the recursion compute instead. The backward
+    direction reads mirrored chunks (base (n_s-1-s)*TS) in the same loop,
+    so both directions still cost one pass over HBM.
 
     cost: (D, H, W) float32 or uint8. Returns same-shape float32 summed
     aggregated costs, numerically identical to the XLA path on the float32
@@ -192,11 +196,8 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     # masked to _INF inside the kernel instead.)
     volp = jnp.pad(vol, ((0, 0), (0, Dp - D), (0, Kp - K)),
                    constant_values=255 if is_u8 else _INF)
-    # Rows per grid step: each step is dominated by fixed DMA-issue
-    # latency (~15-30 us measured on v5e regardless of dtype), so batch
-    # TS sequential rows into one block and recurse in-kernel — 8-16x
-    # fewer grid steps for the same bytes. TS must divide S exactly
-    # (mirrored backward indexing); power-of-two so common sizes hit 16.
+    # Rows per DMA chunk. TS must divide S exactly (mirrored backward
+    # indexing); power-of-two so common sizes hit 16.
     TS = 1
     while TS < 16 and S % (TS * 2) == 0:
         TS *= 2
@@ -206,10 +207,29 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     n_k = Kp // TK
     p12 = jnp.asarray([[P1, P2]], jnp.float32)
 
-    def kernel(p_ref, vf_ref, vb_ref, of_ref, ob_ref, cf, cb):
-        g = pl.program_id(1)
+    def kernel(p_ref, v_hbm, of_hbm, ob_hbm, vin, vout, cf, cb,
+               sem_in, sem_out):
+        kk = pl.program_id(0)
+        lanes = pl.ds(kk * TK, TK)
         p1 = p_ref[0, 0]
         p2 = p_ref[0, 1]
+
+        def in_dma(slot, s, dirn):
+            base = s * TS if dirn == 0 else (n_s - 1 - s) * TS
+            return pltpu.make_async_copy(
+                v_hbm.at[pl.ds(base, TS), :, lanes],
+                vin.at[slot, dirn],
+                sem_in.at[slot, dirn],
+            )
+
+        def out_dma(slot, s, dirn):
+            o_hbm = of_hbm if dirn == 0 else ob_hbm
+            base = s * TS if dirn == 0 else (n_s - 1 - s) * TS
+            return pltpu.make_async_copy(
+                vout.at[slot, dirn],
+                o_hbm.at[pl.ds(base, TS), :, lanes],
+                sem_out.at[slot, dirn],
+            )
 
         def prep(c):
             if is_u8:
@@ -233,46 +253,78 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
             )
             carry[:] = c + best - m
 
-        def one(v_ref, o_ref, carry, reverse):
-            order = range(TS - 1, -1, -1) if reverse else range(TS)
+        def one(slot, s, dirn, carry):
+            order = (range(TS) if dirn == 0 else range(TS - 1, -1, -1))
             for i, u in enumerate(order):
-                c = prep(v_ref[u])
+                c = prep(vin[slot, dirn, u])
                 if i == 0:
-                    @pl.when(g == 0)
+                    @pl.when(s == 0)
                     def _(c=c, carry=carry):
                         carry[:] = c
 
-                    @pl.when(g > 0)
+                    @pl.when(s > 0)
                     def _(c=c, carry=carry):
                         recurse(carry, c)
                 else:
                     recurse(carry, c)
-                o_ref[u] = _vstore(carry[:], out_dtype)
+                vout[slot, dirn, u] = _vstore(carry[:], out_dtype)
 
-        one(vf_ref, of_ref, cf, False)
-        one(vb_ref, ob_ref, cb, True)
+        # Warm up the in-pipeline, then loop: issue chunk s+1's loads,
+        # wait chunk s's, recurse both directions, drain the out-DMA that
+        # last used this slot (s-2) before overwriting, store, issue.
+        in_dma(0, 0, 0).start()
+        in_dma(0, 0, 1).start()
 
-    blk = lambda idx: pl.BlockSpec((TS, Dp, TK), idx,
-                                   memory_space=pltpu.VMEM)
+        def body(s, _):
+            slot = jax.lax.rem(s, 2)
+            nxt = jax.lax.rem(s + 1, 2)
+
+            @pl.when(s + 1 < n_s)
+            def _():
+                in_dma(nxt, s + 1, 0).start()
+                in_dma(nxt, s + 1, 1).start()
+
+            in_dma(slot, s, 0).wait()
+            in_dma(slot, s, 1).wait()
+
+            @pl.when(s >= 2)
+            def _():
+                out_dma(slot, s - 2, 0).wait()
+                out_dma(slot, s - 2, 1).wait()
+
+            one(slot, s, 0, cf)
+            one(slot, s, 1, cb)
+            out_dma(slot, s, 0).start()
+            out_dma(slot, s, 1).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_s, body, 0)
+        for s in range(max(0, n_s - 2), n_s):
+            out_dma(s % 2, s, 0).wait()
+            out_dma(s % 2, s, 1).wait()
+
     out_shape = jax.ShapeDtypeStruct((S, Dp, Kp), out_dtype)
     fwd, bwd = pl.pallas_call(
         kernel,
-        grid=(n_k, n_s),
+        grid=(n_k,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda k, g: (0, 0),
+            pl.BlockSpec((1, 2), lambda k: (0, 0),
                          memory_space=pltpu.SMEM),
-            blk(lambda k, g: (g, 0, k)),
-            blk(lambda k, g: (n_s - 1 - g, 0, k)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=(blk(lambda k, g: (g, 0, k)),
-                   blk(lambda k, g: (n_s - 1 - g, 0, k))),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[
+            pltpu.VMEM((2, 2, TS, Dp, TK), volp.dtype),
+            pltpu.VMEM((2, 2, TS, Dp, TK), out_dtype),
             pltpu.VMEM((Dp, TK), jnp.float32),
             pltpu.VMEM((Dp, TK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(p12, volp, volp)
+    )(p12, volp)
     if out_dtype == jnp.uint8:
         # u8 + u8 would wrap; widen, add, narrow (sums <= 2*(24+P2) <= 254
         # under the _u8_exact gate). XLA fuses this into one pass.

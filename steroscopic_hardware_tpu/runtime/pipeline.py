@@ -26,10 +26,19 @@ class DepthPipeline:
     def __init__(self, bus: FrameBus, matcher: BlockMatcher | None = None,
                  left_slot="left", right_slot="right", out_slot="out",
                  lr_check: bool = False, colorize: bool = True,
-                 rectifier=None, depth_slot="depth", max_batch: int = 8):
+                 rectifier=None, depth_slot="depth", max_batch: int = 8,
+                 preview_scale: int = 1):
         self.bus = bus
         self.matcher = matcher or BlockMatcher()
         self.max_batch = max_batch
+        # preview_scale > 1 switches the fused serve dispatch to "light"
+        # fetches: only the newest depth comes back full-res and the RGB
+        # preview is k x k mean-pooled ON DEVICE before colorization —
+        # ~14x less fetch traffic at B=8/k=2 for the tunnel-bound case
+        # (ROADMAP gap 4). The out/depth bus slots then carry one frame
+        # per batch (latest-frame semantics, same as the reference's
+        # free-running loop).
+        self.preview_scale = max(1, int(preview_scale))
         self.left_slot = left_slot
         self.right_slot = right_slot
         self.out_slot = out_slot
@@ -90,7 +99,18 @@ class DepthPipeline:
         batching amortizes both RTTs across B frames."""
         t0s = [t for t, _ in pairs]
         rgb = None
-        if self.colorize and hasattr(self.matcher, "compute_serve_async"):
+        k = self.preview_scale
+        if (self.colorize and k > 1
+                and hasattr(self.matcher, "compute_serve_async")):
+            # light fetch: 1D [newest depth | downscaled RGB preview]
+            H, W = pairs[-1][1][0].shape
+            flat = np.asarray(self.matcher.compute_serve_async(
+                [p for _, p in pairs], lr=self.lr_check,
+                preview_scale=k, fetch_all=False,
+            ))
+            depths = flat[: H * W].reshape(1, H, W)
+            rgb = flat[H * W:].reshape(H // k, W // k, 3)
+        elif self.colorize and hasattr(self.matcher, "compute_serve_async"):
             packed = np.asarray(self.matcher.compute_serve_async(
                 [p for _, p in pairs], lr=self.lr_check
             ))

@@ -135,6 +135,58 @@ def test_pipeline_batches_backlogged_frames(rng):
         mgr.close_all()
 
 
+def test_serve_light_fetch_matches_full(rng):
+    """preview_scale/fetch_all=False ("light" tunnel mode) must return the
+    SAME newest depth as the full packed layout, plus an RGB preview equal
+    to colorizing the k x k integer-mean-pooled depth."""
+    from steroscopic_hardware_tpu.ops.colorize import colorize_disparity
+
+    H, W, k = 32, 64, 2
+    pairs = [
+        (rng.integers(0, 256, (H, W), dtype=np.uint8),
+         rng.integers(0, 256, (H, W), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    matcher = BlockMatcher(backend="xla")
+    matcher.set_params(Parameters(7, 16))
+    full = np.asarray(matcher.compute_serve_async(pairs))
+    depths = full[: len(pairs)]
+
+    flat = np.asarray(matcher.compute_serve_async(
+        pairs, preview_scale=k, fetch_all=False))
+    assert flat.ndim == 1
+    assert flat.size == H * W + (H // k) * (W // k) * 3
+    np.testing.assert_array_equal(
+        flat[: H * W].reshape(H, W), depths[-1])
+
+    s = depths[-1].astype(np.int64).reshape(H // k, k, W // k, k).sum((1, 3))
+    pooled = ((s + k * k // 2) // (k * k)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        flat[H * W:].reshape(H // k, W // k, 3), colorize_disparity(pooled))
+
+
+def test_pipeline_preview_scale_light_mode(rng):
+    """A preview_scale>1 pipeline publishes the full-res newest depth to
+    the out slot and a downscaled RGB preview to the depth slot."""
+    mgr = CameraManager()
+    mgr.set_source("left", SyntheticSource(
+        mgr.bus, "left", shape=(32, 64), fps=100.0, shift=0, seed=7))
+    mgr.set_source("right", SyntheticSource(
+        mgr.bus, "right", shape=(32, 64), fps=100.0, shift=4, seed=7))
+    matcher = BlockMatcher(backend="xla")
+    matcher.set_params(Parameters(7, 16))
+    pipe = DepthPipeline(mgr.bus, matcher, preview_scale=2).start()
+    try:
+        assert _wait(lambda: pipe.frames >= 3, timeout=20.0)
+        out = mgr.bus.latest("out")
+        assert out is not None and out.data.shape == (32, 64)
+        depth = mgr.bus.latest("depth")
+        assert depth is not None and depth.data.shape == (16, 32, 3)
+    finally:
+        pipe.close()
+        mgr.close_all()
+
+
 # -- wire protocol ------------------------------------------------------------
 
 @pytest.mark.parametrize("codec", [wire.CODEC_RAW, wire.CODEC_RANGE,
