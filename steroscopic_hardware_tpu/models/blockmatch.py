@@ -118,6 +118,18 @@ def _disparity_serve(stacked, *, block_size, max_disparity, backend,
         )
         for b in range(stacked.shape[0])
     ]
+    return _pack_serve(depths, preview_scale, fetch_all)
+
+
+def _pack_serve(depths, preview_scale, fetch_all):
+    """Pack a micro-batch of uint8 depth maps + the newest frame's RGB
+    into ONE buffer (one fetch RPC): (B+3, H, W) in full mode, the 1D
+    light layout otherwise (see ``_disparity_serve``)."""
+    from steroscopic_hardware_tpu.ops.colorize import (
+        colorize_disparity_jax,
+        downscale_u8_jax,
+    )
+
     if fetch_all and preview_scale == 1:
         rgb_planes = jnp.transpose(colorize_disparity_jax(depths[-1]),
                                    (2, 0, 1))
@@ -127,6 +139,42 @@ def _disparity_serve(stacked, *, block_size, max_disparity, backend,
     )
     kept = depths if fetch_all else depths[-1:]
     return jnp.concatenate([d.ravel() for d in kept] + [rgb.ravel()])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_disparity", "p1", "p2", "subpixel", "lr",
+                     "threshold", "preview_scale", "fetch_all"),
+)
+def _sgm_serve(stacked, *, max_disparity, p1, p2, subpixel, lr=False,
+               threshold=1.0, preview_scale=1, fetch_all=True):
+    """SGM counterpart of ``_disparity_serve``: one dispatch for a
+    (B, 2, H, W) micro-batch, same packed layouts — serving parity
+    between the engines (the pipeline batches whichever matcher exposes
+    ``compute_serve_async``)."""
+    from steroscopic_hardware_tpu.ops.sgm import sgm_disparity, sgm_lr_checked
+
+    def one(left, right):
+        if lr:
+            disp, valid = sgm_lr_checked(
+                left, right, max_disparity=max_disparity, P1=p1, P2=p2,
+                threshold=threshold,
+            )
+        else:
+            disp = sgm_disparity(
+                left, right, max_disparity=max_disparity, P1=p1, P2=p2,
+                subpixel=subpixel,
+            )
+        u8 = jnp.clip(
+            disp * (255.0 / max_disparity) + 0.5, 0, 255
+        ).astype(jnp.uint8)
+        if lr:
+            u8 = jnp.where(valid, u8, jnp.uint8(255))
+        return u8
+
+    depths = [one(stacked[b, 0], stacked[b, 1])
+              for b in range(stacked.shape[0])]
+    return _pack_serve(depths, preview_scale, fetch_all)
 
 
 @dataclasses.dataclass
@@ -318,6 +366,22 @@ class SGMMatcher:
         ).astype(jax.numpy.uint8)
         out = jax.numpy.where(valid, out, jax.numpy.uint8(255))
         return np.asarray(out), np.asarray(valid)
+
+    def compute_serve_async(self, pairs, lr: bool = False,
+                            preview_scale: int = 1,
+                            fetch_all: bool = True):
+        """Fused one-dispatch serving step (same packed layouts as
+        :meth:`BlockMatcher.compute_serve_async`) so the pipeline
+        micro-batches the SGM engine too."""
+        p = self.store.get()
+        stacked = np.stack([np.stack((np.asarray(l), np.asarray(r)))
+                            for l, r in pairs])
+        return _sgm_serve(
+            jax.device_put(stacked),
+            max_disparity=p.max_disparity, p1=self.p1, p2=self.p2,
+            subpixel=self.subpixel, lr=lr,
+            preview_scale=preview_scale, fetch_all=fetch_all,
+        )
 
 
 def sweep(

@@ -165,6 +165,36 @@ def test_serve_light_fetch_matches_full(rng):
         flat[H * W:].reshape(H // k, W // k, 3), colorize_disparity(pooled))
 
 
+def test_sgm_serve_async_matches_per_frame(rng):
+    """SGMMatcher's fused serve dispatch must produce the same uint8 maps
+    as its per-frame compute()/compute_checked() (serving parity with
+    BlockMatcher)."""
+    from steroscopic_hardware_tpu.models.blockmatch import SGMMatcher
+
+    H, W = 24, 48
+    pairs = [
+        (rng.integers(0, 256, (H, W), dtype=np.uint8),
+         rng.integers(0, 256, (H, W), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    m = SGMMatcher()
+    m.set_params(Parameters(7, 16))
+    packed = np.asarray(m.compute_serve_async(pairs))
+    assert packed.shape == (len(pairs) + 3, H, W)
+    for b, (l, r) in enumerate(pairs):
+        np.testing.assert_array_equal(packed[b], m.compute(l, r))
+
+    packed_lr = np.asarray(m.compute_serve_async(pairs, lr=True))
+    want, _ = m.compute_checked(*pairs[-1])
+    np.testing.assert_array_equal(packed_lr[len(pairs) - 1], want)
+
+    flat = np.asarray(m.compute_serve_async(
+        pairs, preview_scale=2, fetch_all=False))
+    assert flat.size == H * W + (H // 2) * (W // 2) * 3
+    np.testing.assert_array_equal(
+        flat[: H * W].reshape(H, W), packed[len(pairs) - 1])
+
+
 def test_pipeline_preview_scale_light_mode(rng):
     """A preview_scale>1 pipeline publishes the full-res newest depth to
     the out slot and a downscaled RGB preview to the depth slot."""
