@@ -18,6 +18,14 @@ nor Python dispatch can contaminate the per-frame number, and the data
 dependency prevents XLA from eliding or overlapping frames. One host
 fetch closes the chain. Best of 3 runs (the tunnel adds tail latency
 spikes; the kernel itself is deterministic).
+
+Round-2 correction: a chained run still pays ONE fixed dispatch+fetch
+round trip (~24 ms through the axon tunnel — measured with a trivial
+chain, whose total is N-independent), which inflated per-frame numbers
+by RTT/N (0.5 ms at N=50!). The kernel time is therefore computed by
+TWO-POINT DIFFERENCING: (T(N2) - T(N1)) / (N2 - N1), which cancels every
+fixed cost exactly. The fetch is 8 bytes so bandwidth drift cannot skew
+the difference.
 """
 
 import json
@@ -57,23 +65,27 @@ def main():
         def step(l, r):
             return disparity_xla(l, r, block_size=BLOCK, max_disparity=MAXD)
 
-    N = 50
+    N1, N2 = 25, 100
 
-    def chained(l, r):
-        def body(x, _):
-            return step(x, r), None
-        out, _ = jax.lax.scan(body, l, None, length=N)
-        return out
+    def chained(n):
+        def run(l, r):
+            def body(x, _):
+                return step(x, r), None
+            out, _ = jax.lax.scan(body, l, None, length=n)
+            # fetch only 8 bytes: the differenced timing must not carry
+            # a bandwidth-dependent fetch term
+            return out.ravel()[:8]
+        return jax.jit(run)
 
-    f = jax.jit(chained)
+    f1, f2 = chained(N1), chained(N2)
     single = jax.jit(step)
 
     L = jax.device_put(left)
     R = jax.device_put(right)
 
     # Warm up / compile.
-    out = f(L, R)
-    out.block_until_ready()
+    np.asarray(f1(L, R))
+    np.asarray(f2(L, R))
 
     # Correctness guard: bit-match the golden-model contract on a crop
     # (full golden is too slow here; full-frame equality is covered in
@@ -94,13 +106,18 @@ def main():
         }))
         return
 
-    # Chained on-device timing: one dispatch runs all N frames.
-    dt = float("inf")
+    # Chained on-device timing at two chain lengths; the difference
+    # cancels the fixed dispatch+fetch round trip exactly.
+    t1 = t2 = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(f(L, R))  # host sync closes the dependency chain
-        dt = min(dt, (time.perf_counter() - t0) / N)
+        np.asarray(f1(L, R))  # host sync closes the dependency chain
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(L, R))
+        t2 = min(t2, time.perf_counter() - t0)
 
+    dt = max(t2 - t1, 1e-9) / (N2 - N1)
     fps = 1.0 / dt
     print(json.dumps({
         "metric": "disparity_fps_640x480_b7_d64",

@@ -67,8 +67,9 @@ def census_cost_volume(left, right, *, max_disparity: int) -> jnp.ndarray:
     return jax.vmap(one)(jnp.arange(max_disparity + 1))
 
 
-@functools.partial(jax.jit, static_argnames=("max_disparity",))
-def census_cost_volume_T(left, right, *, max_disparity: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("max_disparity", "s_major"))
+def census_cost_volume_T(left, right, *, max_disparity: int,
+                         s_major: bool = False) -> jnp.ndarray:
     """Transposed-frame cost volume: (D, W, H) uint8 with
     ``out[d, x, y] == census_cost_volume(...)[d, y, x]`` exactly.
 
@@ -79,6 +80,12 @@ def census_cost_volume_T(left, right, *, max_disparity: int) -> jnp.ndarray:
     under (dy, dx) swap); the permutation is identical for both images, so
     XOR + popcount Hamming costs are unchanged. The H x W uint8 image
     transpose is ~0.1% the size of transposing the cost volume.
+
+    ``s_major=True`` emits (W, D, H) instead — the scan-major layout the
+    aggregation kernel consumes — by moving the vmap output axis, so the
+    fusion WRITES that layout directly and no 20 MB volume transpose (a
+    sublane-crossing relayout, measured ~2 ms at 640x480 D=64 on v5e when
+    it feeds a Pallas input) ever materializes.
     """
     cl = census5x5(left.T)
     cr = census5x5(right.T)
@@ -91,4 +98,6 @@ def census_cost_volume_T(left, right, *, max_disparity: int) -> jnp.ndarray:
         c = popcount32(cl ^ sh).astype(jnp.uint8)
         return jnp.where(xs >= d, c, jnp.uint8(24))
 
-    return jax.vmap(one)(jnp.arange(max_disparity + 1))
+    return jax.vmap(one, out_axes=1 if s_major else 0)(
+        jnp.arange(max_disparity + 1)
+    )

@@ -151,7 +151,7 @@ def _vload(x):
 
 
 def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
-                           out_dtype=jnp.float32):
+                           out_dtype=jnp.float32, s_major: bool = False):
     """Pallas-TPU counterpart of :func:`_aggregate_axis`: the same
     direction-batched recursion, but run as ONE grid step per lane tile
     with the scan over S living in-kernel — a ``fori_loop`` that manually
@@ -179,7 +179,12 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     (axis=1) both the (D, H, W) volume and a transposed-frame (D, W, H)
     volume, which together cover all 4 path directions.
     """
-    if axis == 1:
+    if s_major:
+        # input already (S, D, K) — the producer wrote scan-major directly
+        # (census_cost_volume_T(s_major=True)); no volume relayout at all
+        assert axis == 1, "s_major input implies axis=1 semantics"
+        vol = cost
+    elif axis == 1:
         vol = jnp.transpose(cost, (1, 0, 2))   # (S=H, D, W)
     else:
         vol = jnp.transpose(cost, (2, 0, 1))   # (S=W, D, H)

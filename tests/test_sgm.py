@@ -146,6 +146,22 @@ def test_census_cost_volume_transposed_frame(rng):
     )
     assert np.array_equal(got, want)
 
+    # s_major emits the scan-major (W, D, H) layout of the same values,
+    # and the aggregation consumes it transpose-free with identical output
+    from steroscopic_hardware_tpu.ops.sgm import _aggregate_axis_pallas
+
+    got_s = np.asarray(
+        census_cost_volume_T(jnp.asarray(left), jnp.asarray(right),
+                             max_disparity=12, s_major=True)
+    )
+    assert np.array_equal(got_s, got.transpose(1, 0, 2))
+    a_ref = np.asarray(_aggregate_axis_pallas(
+        jnp.asarray(got), 1.0, 8.0, axis=1, interpret=True))
+    a_s = np.asarray(_aggregate_axis_pallas(
+        jnp.asarray(got_s), 1.0, 8.0, axis=1, interpret=True,
+        s_major=True))
+    assert np.array_equal(a_ref, a_s)
+
 
 def test_sgm_pallas_end_to_end_fractional_penalties(rng):
     """Fractional P1/P2 disable the bf16 volume optimization; the f32
