@@ -33,20 +33,31 @@ def chained(step, n):
         def body(x, _):
             return step(x, r), None
         out, _ = jax.lax.scan(body, l, None, length=n)
-        return out
+        # 8-byte fetch: the differenced timing must not carry a
+        # bandwidth-dependent fetch term
+        return out.ravel()[:8]
     return jax.jit(run)
 
 
 def time_one(step, L, R, n, reps=3):
-    f = chained(step, n)
-    out = f(L, R)
-    out.block_until_ready()  # compile
-    best = float("inf")
+    """Two-point differenced chained timing (see bench.py docstring):
+    a chained dispatch still pays one fixed dispatch+fetch round trip
+    (~24 ms via the tunnel), so per-frame time is
+    (T(n2) - T(n1)) / (n2 - n1) with n1 = n/2, n2 = 2n — every fixed
+    cost cancels exactly."""
+    n1, n2 = max(1, n // 2), 2 * n
+    f1, f2 = chained(step, n1), chained(step, n2)
+    np.asarray(f1(L, R))
+    np.asarray(f2(L, R))  # compile both
+    t1 = t2 = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(f(L, R))
-        best = min(best, time.perf_counter() - t0)
-    return best / n
+        np.asarray(f1(L, R))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(L, R))
+        t2 = min(t2, time.perf_counter() - t0)
+    return max(t2 - t1, 1e-9) / (n2 - n1)
 
 
 def main():
