@@ -117,7 +117,20 @@ def main():
         np.asarray(f2(L, R))
         t2 = min(t2, time.perf_counter() - t0)
 
-    dt = max(t2 - t1, 1e-9) / (N2 - N1)
+    if t2 <= t1:
+        # A non-positive difference means the measurement is noise-
+        # dominated (e.g. a tunnel latency spike swamped the kernel
+        # time); report it instead of printing a nonsense headline.
+        print(json.dumps({
+            "metric": "disparity_fps_640x480_b7_d64",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": f"non-positive timing difference (T({N1})="
+                     f"{t1*1e3:.1f}ms >= T({N2})={t2*1e3:.1f}ms)",
+        }))
+        return
+    dt = (t2 - t1) / (N2 - N1)
     fps = 1.0 / dt
     print(json.dumps({
         "metric": "disparity_fps_640x480_b7_d64",

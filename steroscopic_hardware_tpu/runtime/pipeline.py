@@ -56,6 +56,7 @@ class DepthPipeline:
         self._times_lock = threading.Lock()
         self.frames = 0
         self.errors = 0
+        self.dropped = 0   # frames coalesced away in light mode
         self._busy_since: float | None = None
 
     def start(self):
@@ -108,6 +109,12 @@ class DepthPipeline:
                 [p for _, p in pairs], lr=self.lr_check,
                 preview_scale=k, fetch_all=False,
             ))
+            want = H * W + (H // k) * (W // k) * 3
+            if flat.size != want:
+                raise ValueError(
+                    f"light serve fetch returned {flat.size} elements, "
+                    f"expected {want} for shape {H}x{W} preview_scale={k}"
+                )
             depths = flat[: H * W].reshape(1, H, W)
             rgb = flat[H * W:].reshape(H // k, W // k, 3)
         elif self.colorize and hasattr(self.matcher, "compute_serve_async"):
@@ -141,12 +148,18 @@ class DepthPipeline:
                 self.depth_slot, np.ascontiguousarray(rgb),
                 source="DepthPipeline",
             )
+        # Honest accounting (ADVICE r2): in light mode only
+        # ``depths.shape[0]`` frames were actually computed and published
+        # (XLA dead-code-eliminates the rest); fps must reflect published
+        # throughput, with the coalesced frames counted separately.
+        published = depths.shape[0]
         now = time.time()
         with self._times_lock:
-            for t0 in t0s:
+            for t0 in t0s[-published:]:
                 self._times.append(now - t0)
                 self._pub_times.append(now)
-        self.frames += len(t0s)
+        self.frames += published
+        self.dropped += len(t0s) - published
         return depths[-1]
 
     def step(self) -> np.ndarray | None:
@@ -235,7 +248,7 @@ class DepthPipeline:
             pubs = list(self._pub_times)
         if not times:
             return {"frames": self.frames, "errors": self.errors,
-                    "state": self._state()}
+                    "dropped": self.dropped, "state": self._state()}
         return self._metrics_with_times(times, pubs)
 
     def _metrics_with_times(self, times, pubs=()) -> dict:
@@ -251,6 +264,7 @@ class DepthPipeline:
         return {
             "frames": self.frames,
             "errors": self.errors,
+            "dropped": self.dropped,
             "state": self._state(),
             "fps": round(float(fps), 2),
             "ms_mean": round(float(arr.mean()) * 1000, 2),

@@ -57,7 +57,11 @@ def time_one(step, L, R, n, reps=3):
         t0 = time.perf_counter()
         np.asarray(f2(L, R))
         t2 = min(t2, time.perf_counter() - t0)
-    return max(t2 - t1, 1e-9) / (n2 - n1)
+    if t2 <= t1:
+        raise RuntimeError(
+            f"noise-dominated timing: T({n1})={t1*1e3:.1f}ms >= "
+            f"T({n2})={t2*1e3:.1f}ms — rerun with more frames")
+    return (t2 - t1) / (n2 - n1)
 
 
 def main():
