@@ -640,25 +640,7 @@ def _sgm_lr_impl(left, right, *, P1, P2, max_disparity, subpixel,
         )
 
     dR = _diagonal_argmin_right(agg)
-    d_best = _argmin_first(agg)
-    if not subpixel:
-        return d_best.astype(jnp.float32), dR
-
-    D = agg.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
-    d_c = jnp.clip(d_best, 1, D - 2)
-    sel = lambda d: jnp.where(
-        iota == d[None], agg, 0
-    ).astype(jnp.float32).sum(0)
-    c0, c1, c2 = sel(d_c - 1), sel(d_c), sel(d_c + 1)
-    denom = jnp.maximum(c0 - 2 * c1 + c2, 1e-6)
-    delta = jnp.clip(0.5 * (c0 - c2) / denom, -0.5, 0.5)
-    disp = jnp.where(
-        (d_best >= 1) & (d_best <= D - 2),
-        d_c.astype(jnp.float32) + delta,
-        d_best.astype(jnp.float32),
-    )
-    return disp, dR
+    return _epilogue_xla(agg, subpixel), dR
 
 
 def sgm_lr_checked(
@@ -820,17 +802,23 @@ def _sgm_impl(
             + _aggregate_axis(cost, P1, P2, axis=1) # up<->down paths
         )
 
-    # Argmin + neighbor extraction as masked reductions over d instead of
-    # argmin + take_along_axis: per-pixel gathers along the major axis of
-    # (D, H, W) cost ~11 ms at 640x480 on v5e, while min/where/sum sweeps
-    # are bandwidth-bound (~2x whole-SGM speedup, measured 22.9 -> 11.2
-    # ms). Tie-breaking stays first-minimum, bit-exact vs the gather form.
+    return _epilogue_xla(agg, subpixel)
+
+
+def _epilogue_xla(agg, subpixel: bool):
+    """Argmin + (optional) subpixel parabola over the summed aggregate,
+    as masked reductions over d instead of argmin + take_along_axis:
+    per-pixel gathers along the major axis of (D, H, W) cost ~11 ms at
+    640x480 on v5e, while min/where/sum sweeps are bandwidth-bound (~2x
+    whole-SGM speedup, measured 22.9 -> 11.2 ms). Tie-breaking stays
+    first-minimum, bit-exact vs the gather form. Shared by the portable
+    backend here and the sharded engine (parallel/sgm_shard.py)."""
     D = agg.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
     d_best = _argmin_first(agg)
     if not subpixel:
         return d_best.astype(jnp.float32)
 
+    iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
     d_c = jnp.clip(d_best, 1, D - 2)
     # Upcast before the masked sum: the parabola arithmetic needs f32
     # even when agg is bf16 (c0 - 2*c1 + c2 exceeds bf16's exact-integer

@@ -74,16 +74,19 @@ def test_sharded_large_block_spanning_shards(rng):
     assert np.array_equal(want, got)
 
 
-def test_sgm_sharded_direction_parallel_bitexact(rng):
-    """Direction-parallel SGM over a 2-device axis must be bit-identical
-    to the single-device xla engine (the two-term f32 psum commutes
-    exactly)."""
+@pytest.mark.parametrize("n", [2, 4, 8])
+@pytest.mark.parametrize("subpixel", [False, True])
+def test_sgm_sharded_nway_bitexact(rng, n, subpixel):
+    """N-way scanline-sharded SGM must be bit-identical to the
+    single-device xla engine for every mesh size (vertical family per
+    W-band, horizontal per H-band, all_to_all reshard — no halo, no
+    approximation)."""
     from steroscopic_hardware_tpu.ops.sgm import sgm_disparity
     from steroscopic_hardware_tpu.parallel.sgm_shard import (
         sgm_disparity_sharded,
     )
 
-    mesh = make_mesh(n_rows=2)
+    mesh = make_mesh(n_rows=n)
     left = rng.integers(0, 256, (48, 96), dtype=np.uint8)
     right = np.clip(
         np.roll(left, -4, axis=1).astype(int)
@@ -91,7 +94,44 @@ def test_sgm_sharded_direction_parallel_bitexact(rng):
         0, 255,
     ).astype(np.uint8)
     want = np.asarray(sgm_disparity(left, right, max_disparity=16,
+                                    backend="xla", subpixel=subpixel))
+    got = np.asarray(sgm_disparity_sharded(
+        left, right, max_disparity=16, mesh=mesh, subpixel=subpixel))
+    assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_sgm_sharded_pallas_backend_bitexact(rng, n):
+    """The multi-chip SGM path must run the same Pallas kernels as the
+    single-chip engine (VERDICT r2 directive #3): force backend="pallas"
+    through the Mosaic interpreter on the CPU mesh and demand
+    bit-identity with the portable engine, u8 aggregate tier included."""
+    from steroscopic_hardware_tpu.ops.sgm import sgm_disparity
+    from steroscopic_hardware_tpu.parallel.sgm_shard import (
+        sgm_disparity_sharded,
+    )
+
+    mesh = make_mesh(n_rows=n)
+    left = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    right = np.clip(
+        np.roll(left, -3, axis=1).astype(int)
+        + rng.integers(-2, 3, (32, 64)),
+        0, 255,
+    ).astype(np.uint8)
+    want = np.asarray(sgm_disparity(left, right, max_disparity=16,
                                     backend="xla"))
     got = np.asarray(sgm_disparity_sharded(
-        left, right, max_disparity=16, mesh=mesh))
+        left, right, max_disparity=16, mesh=mesh,
+        backend="pallas", interpret=True))
     assert np.array_equal(want, got)
+
+
+def test_sgm_sharded_nondivisible_raises(rng):
+    from steroscopic_hardware_tpu.parallel.sgm_shard import (
+        sgm_disparity_sharded,
+    )
+
+    mesh = make_mesh(n_rows=4)
+    left = rng.integers(0, 256, (30, 96), dtype=np.uint8)
+    with pytest.raises(ValueError, match="must divide"):
+        sgm_disparity_sharded(left, left, max_disparity=16, mesh=mesh)
