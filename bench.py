@@ -38,6 +38,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+# honor an explicit CPU request even under the axon sitecustomize, which
+# force-registers the TPU platform (CI smoke runs use JAX_PLATFORMS=cpu)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from steroscopic_hardware_tpu.ops.gray import load_gray  # noqa: E402

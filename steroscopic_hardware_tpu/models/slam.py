@@ -50,11 +50,12 @@ class FrameState:
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "max_disparity", "fast_threshold",
-                     "max_keypoints", "intr", "baseline", "use_pallas"),
+                     "max_keypoints", "intr", "baseline", "use_pallas",
+                     "frontend"),
 )
 def _frame_frontend(left, right, *, block_size, max_disparity,
                     fast_threshold, max_keypoints, intr, baseline,
-                    use_pallas):
+                    use_pallas, frontend="sad"):
     """Whole per-frame front-end as ONE jitted computation: fused LR
     disparity sweep with SUBPIXEL refinement (Pallas on TPU, XLA
     elsewhere) -> FAST/ORB -> LR-consistency-gated stereo triangulation.
@@ -66,8 +67,23 @@ def _frame_frontend(left, right, *, block_size, max_disparity,
     pixel (~0.5 m at z=10 m with fx=240, b=0.4), and windowed BA then
     fits keyframe poses tightly to those biased landmarks — measured to
     DOUBLE the ATE of pure VO on the synthetic suite before this fix
-    (VERDICT r1 weak #3)."""
-    if use_pallas:
+    (VERDICT r1 weak #3).
+
+    ``frontend="sgm"`` swaps the SAD sweep for the census+SGM engine:
+    the census transform compares each pixel only against its own
+    neighborhood, so per-eye photometric gain/offset mismatch (auto-
+    exposure drift between the two cameras) leaves the cost volume
+    unchanged where it corrupts SAD — the quality mode for uncontrolled
+    lighting (see tests/test_slam.py photometric suite)."""
+    if frontend == "sgm":
+        from steroscopic_hardware_tpu.ops.sgm import sgm_disparity_lr
+
+        dL, dR = sgm_disparity_lr(
+            left, right, max_disparity=max_disparity, subpixel=True,
+            backend="pallas" if use_pallas else "xla",
+        )
+        dR = dR.astype(jnp.float32)
+    elif use_pallas:
         from steroscopic_hardware_tpu.ops.sad_pallas import (
             disparity_pallas_subpixel,
         )
@@ -114,8 +130,11 @@ class StereoVO:
 
     def __init__(self, camera: StereoCamera, *, block_size=7,
                  max_disparity=64, max_keypoints=256, fast_threshold=20,
-                 min_pnp_inliers=12, seed=0):
+                 min_pnp_inliers=12, seed=0, frontend="sad"):
+        if frontend not in ("sad", "sgm"):
+            raise ValueError(f"unknown frontend {frontend!r}")
         self.cam = camera
+        self.frontend = frontend
         self.block_size = block_size
         self.max_disparity = max_disparity
         self.max_keypoints = max_keypoints
@@ -144,6 +163,7 @@ class StereoVO:
             intr=self.cam.intr,
             baseline=self.cam.baseline,
             use_pallas=use_pallas,
+            frontend=self.frontend,
         )
         return FrameState(
             xy=np.asarray(xy), xy_sub=np.asarray(xy_sub),

@@ -30,10 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from steroscopic_hardware_tpu.ops.sad_xla import (
-    disparity_raw_lr_xla,
-    disparity_raw_xla,
-)
+from steroscopic_hardware_tpu.ops.sad_xla import disparity_raw_lr_xla
 
 
 @functools.partial(

@@ -16,8 +16,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.float32(1e9)
+# numpy scalar: a module-level jnp constant initialises the XLA backend at
+# import, breaking jax.distributed.initialize() (tests/mp_worker.py)
+_INF = np.float32(1e9)
 
 
 def hamming_matrix(desc_a, desc_b, valid_a=None, valid_b=None):

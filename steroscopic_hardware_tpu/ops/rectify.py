@@ -20,7 +20,6 @@ textbook algorithm (Bouguet / Hartley-Zisserman).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(2**30)
+# numpy (not jnp) scalar: a module-level jnp constant would initialise the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# in multi-process runs (tests/mp_worker.py). Promotion semantics inside
+# jnp ops are identical.
+_BIG = np.int32(2**30)
 
 
 def _box_sum_2d(ad: jnp.ndarray, half: int) -> jnp.ndarray:

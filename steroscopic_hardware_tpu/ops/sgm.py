@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -31,7 +32,9 @@ from steroscopic_hardware_tpu.ops.census import (
     census_cost_volume_T,
 )
 
-_INF = jnp.float32(1e9)
+# numpy scalar: a module-level jnp constant initialises the XLA backend at
+# import, breaking jax.distributed.initialize() (tests/mp_worker.py)
+_INF = np.float32(1e9)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -34,7 +34,6 @@ shared per-(slot, seq) PNG encode cache so N viewers cost one encode.
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 import time

@@ -16,8 +16,18 @@ from steroscopic_hardware_tpu.ops import se3
 
 
 class SyntheticScene:
+    """Textured landmark field with optional opaque occluders.
+
+    ``n_occluders`` adds large (21x21-px-patch) textured objects at a
+    shallower depth band than the landmarks; rendered far-to-near they
+    OVERWRITE landmark pixels, so landmarks blink in and out of view as
+    the camera moves — the realistic failure mode for frame-to-frame
+    matching and for stereo (each eye can see a different subset).
+    """
+
     def __init__(self, camera, size=(240, 320), n_landmarks=60,
-                 depth=(5.0, 11.0), spread=(3.5, 2.5), seed=0):
+                 depth=(5.0, 11.0), spread=(3.5, 2.5), seed=0,
+                 n_occluders=0, occ_depth=(2.2, 4.0)):
         self.cam = camera
         self.H, self.W = size
         rng = np.random.default_rng(seed)
@@ -32,9 +42,21 @@ class SyntheticScene:
         self.patches = rng.integers(
             40, 250, (n_landmarks, 9, 9)
         ).astype(np.uint8)
+        # occluders: near, big, textured — same splat path, bigger patch
+        self.occ_points = np.stack(
+            [
+                rng.uniform(-spread[0] * 0.5, spread[0] * 0.5, n_occluders),
+                rng.uniform(-spread[1] * 0.5, spread[1] * 0.5, n_occluders),
+                rng.uniform(*occ_depth, n_occluders),
+            ],
+            -1,
+        ).astype(np.float32)
+        self.occ_patches = rng.integers(
+            30, 240, (n_occluders, 21, 21)
+        ).astype(np.uint8)
 
     def render(self, xi, right=False, background=90, noise=0.0,
-               noise_rng=None):
+               noise_rng=None, gain=1.0, offset=0.0):
         """Render the landmark field from pose xi (world->camera twist).
 
         Patches are splatted at their SUBPIXEL projection via bilinear
@@ -44,15 +66,19 @@ class SyntheticScene:
         hit a ~1.5 cm pose-error floor no optimizer could beat, making
         windowed BA look worse than VO — VERDICT r1 weak #3.)
         ``noise`` adds i.i.d. Gaussian pixel noise (sensor model) so VO
-        drift is realistic on long sequences.
+        drift is realistic on long sequences. ``gain``/``offset`` apply a
+        photometric model ``gain*I + offset`` BEFORE noise/quantization —
+        per-eye mismatch emulates independent auto-exposure on the two
+        cameras (census-based matching is invariant to it, SAD is not).
         """
         R, t = se3.se3_exp(jnp.asarray(xi))
-        cam = self.points @ np.asarray(R).T + np.asarray(t)
+        world = (np.concatenate([self.points, self.occ_points])
+                 if len(self.occ_points) else self.points)
+        cam = world @ np.asarray(R).T + np.asarray(t)
         if right:
             cam = cam - np.array([self.cam.baseline, 0, 0], np.float32)
         img = np.full((self.H, self.W), float(background), np.float32)
-        P = self.patches.shape[1]  # 9
-        half = P // 2
+        n_lm = len(self.points)
         for j in np.argsort(-cam[:, 2]):  # far to near (painter's algo)
             X, Y, Z = cam[j]
             if Z <= 0.5:
@@ -61,26 +87,39 @@ class SyntheticScene:
             v = self.cam.fy * Y / Z + self.cam.cy
             if not (5 <= u < self.W - 5 and 5 <= v < self.H - 5):
                 continue
+            patch = (self.patches[j] if j < n_lm
+                     else self.occ_patches[j - n_lm])
+            P = patch.shape[0]
+            half = P // 2
             # paste patch with top-left at float (v - half, u - half):
             # for output pixel rows y0 + k, the patch coordinate is
             # k - 1 + fv in [0, P-1]; bilinear between rows/cols.
             ty, tx = v - half, u - half
             y0, x0 = int(np.floor(ty)) + 1, int(np.floor(tx)) + 1
             fv, fu = y0 - ty, x0 - tx  # in (0, 1]
-            p = self.patches[j].astype(np.float32)
+            p = patch.astype(np.float32)
             # resample P-1 x P-1 interior at fractional offset
             rows = p[:-1] * (1 - fv) + p[1:] * fv          # (P-1, P)
             sub = rows[:, :-1] * (1 - fu) + rows[:, 1:] * fu
-            img[y0 : y0 + P - 1, x0 : x0 + P - 1] = sub
+            # clip to the frame (occluder patches are wider than the
+            # 5-px visibility margin and may straddle the border)
+            ys, ye = max(y0, 0), min(y0 + P - 1, self.H)
+            xs, xe = max(x0, 0), min(x0 + P - 1, self.W)
+            img[ys:ye, xs:xe] = sub[ys - y0 : ye - y0, xs - x0 : xe - x0]
+        img = gain * img + offset
         if noise:
             rng = noise_rng if noise_rng is not None else np.random
             img = img + rng.normal(0.0, noise, img.shape)
         return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
-    def render_pair(self, xi, noise=0.0, noise_rng=None):
+    def render_pair(self, xi, noise=0.0, noise_rng=None,
+                    gain=(1.0, 1.0), offset=(0.0, 0.0)):
+        """Stereo pair with independent per-eye photometric state."""
         return (
-            self.render(xi, noise=noise, noise_rng=noise_rng),
-            self.render(xi, right=True, noise=noise, noise_rng=noise_rng),
+            self.render(xi, noise=noise, noise_rng=noise_rng,
+                        gain=gain[0], offset=offset[0]),
+            self.render(xi, right=True, noise=noise, noise_rng=noise_rng,
+                        gain=gain[1], offset=offset[1]),
         )
 
 
@@ -115,6 +154,36 @@ def loop_trajectory(n_frames, radius=0.45, sway=0.18, yaw_amp=0.035):
         cy, sy = np.cos(yaw), np.sin(yaw)
         R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
         t = -R @ p  # world->camera: x_cam = R x_world + t, center = -R^T t
+        xis.append(np.asarray(
+            se3.se3_log(jnp.asarray(R), jnp.asarray(t))
+        ).astype(np.float32))
+    return xis
+
+
+def helix_trajectory(n_frames, radius=0.45, climb=0.35, yaw_amp=0.035,
+                     pitch_amp=0.05):
+    """Non-planar closed trajectory: the x-z loop of
+    :func:`loop_trajectory` plus a full-period vertical excursion and a
+    pitch oscillation, so no single plane (and no constant-height motion
+    model) fits the path. Returns to its start — loop closure stays
+    measurable — while exercising all six pose DOF.
+    """
+    xis = []
+    for k in range(n_frames):
+        th = 2.0 * np.pi * k / (n_frames - 1)
+        p = np.array([
+            radius * np.sin(th),
+            climb * np.sin(th),              # vertical excursion, closed
+            radius * (1.0 - np.cos(th)),
+        ], np.float32)
+        yaw = yaw_amp * np.sin(th)
+        pitch = pitch_amp * np.sin(2.0 * th)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+        R = Rx @ Ry
+        t = -R @ p
         xis.append(np.asarray(
             se3.se3_log(jnp.asarray(R), jnp.asarray(t))
         ).astype(np.float32))

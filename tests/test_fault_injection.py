@@ -7,7 +7,6 @@ import threading
 import time
 
 import numpy as np
-import pytest
 
 from steroscopic_hardware_tpu.runtime import wire
 from steroscopic_hardware_tpu.runtime.bus import FrameBus

@@ -2,13 +2,11 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from steroscopic_hardware_tpu.ops import se3
 from steroscopic_hardware_tpu.ops.features import (
     detect_and_describe,
     fast_detect,
-    orb_describe,
 )
 from steroscopic_hardware_tpu.ops.matching import hamming_matrix, match
 

@@ -1,11 +1,9 @@
 """KITTI loader (synthetic layout), multihost helper, batch kernel tests."""
 
-import os
 
 import numpy as np
-import pytest
 
-from steroscopic_hardware_tpu.io.kitti import KittiOdometry, read_calib, read_poses
+from steroscopic_hardware_tpu.io.kitti import KittiOdometry
 from steroscopic_hardware_tpu.io.png import write_png
 from steroscopic_hardware_tpu.parallel.multihost import (
     global_mesh,

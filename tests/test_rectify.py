@@ -6,7 +6,6 @@ import numpy as np
 from steroscopic_hardware_tpu.ops.rectify import (
     StereoRectifier,
     distort_points,
-    rectify_maps,
     remap,
     stereo_rectify,
     undistort_points,

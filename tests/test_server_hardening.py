@@ -3,7 +3,6 @@
 import json
 import ssl
 import subprocess
-import threading
 import time
 import urllib.error
 import urllib.request

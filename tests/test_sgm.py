@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from steroscopic_hardware_tpu.ops.census import (
     census5x5,

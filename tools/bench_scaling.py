@@ -34,7 +34,6 @@ def bench_batch_axis(args):
     in a single-chip environment): frames per launch F = 1..8, on-device
     chained timing (see bench.py protocol) so tunnel RPC latency cannot
     contaminate the numbers."""
-    import jax.numpy as jnp
 
     from steroscopic_hardware_tpu.ops.sad_pallas import (
         disparity_pallas_batch,
