@@ -88,6 +88,12 @@ def main(argv=None):
                          "fetch only the newest depth per batch — cuts "
                          "device->host traffic ~14x at batch 8, for "
                          "bandwidth-starved links (e.g. a tunnel)")
+    ap.add_argument("--device-colorize", dest="host_colorize",
+                    action="store_false", default=True,
+                    help="colorize the preview ON DEVICE and fetch RGB "
+                    "(default: fetch uint8 depth only and colorize "
+                    "host-side via the Turbo LUT — 3x less fetch "
+                    "traffic)")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile the current parameter bucket in the "
                          "background at startup (hides first-frame "
@@ -117,7 +123,8 @@ def main(argv=None):
     matcher = make_matcher()
     pipeline = DepthPipeline(manager.bus, matcher, lr_check=args.lr_check,
                              rectifier=rectifier,
-                             preview_scale=args.preview_scale)
+                             preview_scale=args.preview_scale,
+                             host_colorize=args.host_colorize)
     slam_pipeline = None
     if args.slam:
         from steroscopic_hardware_tpu.models.slam import StereoCamera
@@ -150,6 +157,7 @@ def main(argv=None):
         rigs[name] = DepthPipeline(
             manager.bus, make_matcher(), lr_check=args.lr_check,
             rectifier=rectifier, preview_scale=args.preview_scale,
+            host_colorize=args.host_colorize,
             left_slot=f"{name}.left", right_slot=f"{name}.right",
             out_slot=f"{name}.out", depth_slot=f"{name}.depth",
         )

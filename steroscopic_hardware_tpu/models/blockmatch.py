@@ -77,11 +77,12 @@ def _disparity_one(left, right, *, block_size, max_disparity, backend,
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "max_disparity", "backend", "lr",
-                     "threshold", "preview_scale", "fetch_all"),
+                     "threshold", "preview_scale", "fetch_all",
+                     "colorize_dev"),
 )
 def _disparity_serve(stacked, *, block_size, max_disparity, backend,
                      lr=False, threshold=1, preview_scale=1,
-                     fetch_all=True):
+                     fetch_all=True, colorize_dev=True):
     """One-dispatch serving step over a frame micro-batch: stacked
     (B, 2, H, W) uint8 -> (depths (B, H, W) uint8, turbo RGB of the
     NEWEST frame, colorized — and optionally downscaled — on device).
@@ -118,18 +119,27 @@ def _disparity_serve(stacked, *, block_size, max_disparity, backend,
         )
         for b in range(stacked.shape[0])
     ]
-    return _pack_serve(depths, preview_scale, fetch_all)
+    return _pack_serve(depths, preview_scale, fetch_all, colorize_dev)
 
 
-def _pack_serve(depths, preview_scale, fetch_all):
+def _pack_serve(depths, preview_scale, fetch_all, colorize_dev=True):
     """Pack a micro-batch of uint8 depth maps + the newest frame's RGB
     into ONE buffer (one fetch RPC): (B+3, H, W) in full mode, the 1D
-    light layout otherwise (see ``_disparity_serve``)."""
+    light layout otherwise (see ``_disparity_serve``).
+
+    ``colorize_dev=False`` ships NO RGB at all — the host colorizes the
+    fetched uint8 depth through the 256-entry Turbo LUT
+    (``ops.colorize.turbo_lut``), cutting the visualization fetch 3x
+    (VERDICT r2 directive #6): full mode returns the (B, H, W) depth
+    stack, light mode the newest frame's raveled depth only."""
     from steroscopic_hardware_tpu.ops.colorize import (
         colorize_disparity_jax,
         downscale_u8_jax,
     )
 
+    if not colorize_dev:
+        kept = depths if fetch_all else depths[-1:]
+        return jnp.stack(kept)
     if fetch_all and preview_scale == 1:
         rgb_planes = jnp.transpose(colorize_disparity_jax(depths[-1]),
                                    (2, 0, 1))
@@ -144,10 +154,12 @@ def _pack_serve(depths, preview_scale, fetch_all):
 @functools.partial(
     jax.jit,
     static_argnames=("max_disparity", "p1", "p2", "subpixel", "lr",
-                     "threshold", "preview_scale", "fetch_all"),
+                     "threshold", "preview_scale", "fetch_all",
+                     "colorize_dev"),
 )
 def _sgm_serve(stacked, *, max_disparity, p1, p2, subpixel, lr=False,
-               threshold=1.0, preview_scale=1, fetch_all=True):
+               threshold=1.0, preview_scale=1, fetch_all=True,
+               colorize_dev=True):
     """SGM counterpart of ``_disparity_serve``: one dispatch for a
     (B, 2, H, W) micro-batch, same packed layouts — serving parity
     between the engines (the pipeline batches whichever matcher exposes
@@ -174,7 +186,7 @@ def _sgm_serve(stacked, *, max_disparity, p1, p2, subpixel, lr=False,
 
     depths = [one(stacked[b, 0], stacked[b, 1])
               for b in range(stacked.shape[0])]
-    return _pack_serve(depths, preview_scale, fetch_all)
+    return _pack_serve(depths, preview_scale, fetch_all, colorize_dev)
 
 
 @dataclasses.dataclass
@@ -253,11 +265,14 @@ class BlockMatcher:
 
     def compute_serve_async(self, pairs, lr: bool = False,
                             preview_scale: int = 1,
-                            fetch_all: bool = True):
+                            fetch_all: bool = True,
+                            colorize_dev: bool = True):
         """Dispatch the fused serving step for a micro-batch of frame
         pairs WITHOUT syncing: ONE stacked host->device transfer, one
         executable, one packed result future (layout per
-        ``_disparity_serve``; the default is the (B+3, H, W) stack).
+        ``_disparity_serve``; the default is the (B+3, H, W) stack;
+        ``colorize_dev=False`` ships depths only for host-LUT
+        colorization).
 
         ``pairs``: list of (left, right) uint8 arrays of one shape.
         """
@@ -270,6 +285,7 @@ class BlockMatcher:
             block_size=p.block_size, max_disparity=p.max_disparity,
             backend=self.backend, lr=lr, threshold=thr,
             preview_scale=preview_scale, fetch_all=fetch_all,
+            colorize_dev=colorize_dev,
         )
 
     # -- compile-bucket management ------------------------------------------
@@ -369,7 +385,8 @@ class SGMMatcher:
 
     def compute_serve_async(self, pairs, lr: bool = False,
                             preview_scale: int = 1,
-                            fetch_all: bool = True):
+                            fetch_all: bool = True,
+                            colorize_dev: bool = True):
         """Fused one-dispatch serving step (same packed layouts as
         :meth:`BlockMatcher.compute_serve_async`) so the pipeline
         micro-batches the SGM engine too."""
@@ -381,6 +398,7 @@ class SGMMatcher:
             max_disparity=p.max_disparity, p1=self.p1, p2=self.p2,
             subpixel=self.subpixel, lr=lr,
             preview_scale=preview_scale, fetch_all=fetch_all,
+            colorize_dev=colorize_dev,
         )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -309,9 +310,14 @@ class StereoSLAM:
         self.frame_idx = 0
         self.ba_runs = 0
         self.last_ba_errs: np.ndarray | None = None
+        # per-stage wall time (s): vo front-end+tracking, window BA,
+        # loop retrieval/verification, pose-graph optimize+propagate
+        self.stage_s = {"vo": 0.0, "ba": 0.0, "loop": 0.0, "graph": 0.0}
 
     def process(self, left, right) -> np.ndarray:
+        t0 = time.perf_counter()
         xi = self.vo.process(left, right)
+        self.stage_s["vo"] += time.perf_counter() - t0
         if self.frame_idx % self.kf_every == 0:
             kf = self.vo.prev
             self.keyframes.append(kf)
@@ -320,7 +326,9 @@ class StereoSLAM:
                 self.keyframes.pop(0)
                 self.kf_traj_idx.pop(0)
             if len(self.keyframes) >= 2:
+                t0 = time.perf_counter()
                 self._refine_window()
+                self.stage_s["ba"] += time.perf_counter() - t0
             # sequential pose-graph edge between consecutive keyframes
             if self.kf_history:
                 prev_kf, _ = self.kf_history[-1]
@@ -332,7 +340,9 @@ class StereoSLAM:
             if self._bow is not None:
                 self._bow.add(kf.desc, kf.valid)
             if self.loop_closure:
+                t0 = time.perf_counter()
                 self._try_loop_closure()
+                self.stage_s["loop"] += time.perf_counter() - t0
         self.frame_idx += 1
         return self.vo.trajectory[-1]
 
@@ -382,7 +392,9 @@ class StereoSLAM:
         # measured T_cur_old from PnP of old's 3D points in cur's image
         self.graph_edges.append((j, cur_idx, np.asarray(xi_rel)))
         self.loops_closed += 1
+        t0 = time.perf_counter()
         self._optimize_pose_graph()
+        self.stage_s["graph"] += time.perf_counter() - t0
 
     def _propagate_pose_updates(self, traj_indices, old_xis, new_xis):
         """Write refined keyframe poses into the trajectory and carry each
@@ -649,7 +661,6 @@ class StereoSLAM:
 
 # -- pose graph ---------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("iters", "fix_first"))
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "fix_first", "cg_iters"),

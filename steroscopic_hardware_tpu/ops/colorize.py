@@ -44,6 +44,34 @@ def colorize_disparity(disp_u8: np.ndarray,
     return rgb
 
 
+_LUT = None
+
+
+def turbo_lut() -> np.ndarray:
+    """(256, 3) uint8 Turbo lookup table: the polynomial evaluated once
+    per possible uint8 disparity value. Host-side colorization via
+    ``lut[disp]`` is a single gather (~1 ms at VGA) and lets the serving
+    path fetch 1-byte/pixel disparity instead of 3-byte/pixel RGB — a 3x
+    cut of the dominant fetch traffic through a bandwidth-limited
+    transport (VERDICT r2 directive #6). Bit-identical to
+    :func:`colorize_disparity` by construction (same polynomial, same
+    quantization, evaluated at the same 256 inputs)."""
+    global _LUT
+    if _LUT is None:
+        _LUT = turbo_colormap(np.arange(256, dtype=np.float32) / 255.0)
+    return _LUT
+
+
+def colorize_disparity_lut(disp_u8: np.ndarray,
+                           invalid_value: int | None = None) -> np.ndarray:
+    """Host-side LUT colorization, bit-identical to
+    :func:`colorize_disparity`."""
+    rgb = turbo_lut()[np.asarray(disp_u8)]
+    if invalid_value is not None:
+        rgb[disp_u8 == invalid_value] = 0
+    return rgb
+
+
 def downscale_u8_jax(img_u8, k: int):
     """On-device k x k mean-pool of a uint8 (H, W) image (rounded integer
     mean, deterministic). Ragged borders are cropped — previews don't need

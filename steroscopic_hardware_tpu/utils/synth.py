@@ -134,16 +134,19 @@ def straight_trajectory(n_frames, step=(0.06, 0.0, -0.12), yaw=0.008):
     return xis
 
 
-def loop_trajectory(n_frames, radius=0.45, sway=0.18, yaw_amp=0.035):
+def loop_trajectory(n_frames, radius=0.45, sway=0.18, yaw_amp=0.035,
+                    circuits=1):
     """Closed-loop trajectory (world->camera twists): the camera center
     circles a small loop in the x-z plane (with a little vertical sway and
     yaw oscillation) and returns to its start — the drift-then-revisit
     shape that makes loop closure measurable on >= 100-frame sequences.
     The loop stays small relative to the landmark depth (5-11 m) so the
-    field remains in view throughout."""
+    field remains in view throughout. ``circuits`` > 1 traverses the
+    same loop repeatedly (multi-loop sequences: every circuit re-visits
+    every place, so loop closures fire throughout the run)."""
     xis = []
     for k in range(n_frames):
-        th = 2.0 * np.pi * k / (n_frames - 1)
+        th = 2.0 * np.pi * circuits * k / (n_frames - 1)
         # camera center in world coords
         p = np.array([
             radius * np.sin(th),
@@ -161,7 +164,7 @@ def loop_trajectory(n_frames, radius=0.45, sway=0.18, yaw_amp=0.035):
 
 
 def helix_trajectory(n_frames, radius=0.45, climb=0.35, yaw_amp=0.035,
-                     pitch_amp=0.05):
+                     pitch_amp=0.05, circuits=1):
     """Non-planar closed trajectory: the x-z loop of
     :func:`loop_trajectory` plus a full-period vertical excursion and a
     pitch oscillation, so no single plane (and no constant-height motion
@@ -170,7 +173,7 @@ def helix_trajectory(n_frames, radius=0.45, climb=0.35, yaw_amp=0.035,
     """
     xis = []
     for k in range(n_frames):
-        th = 2.0 * np.pi * k / (n_frames - 1)
+        th = 2.0 * np.pi * circuits * k / (n_frames - 1)
         p = np.array([
             radius * np.sin(th),
             climb * np.sin(th),              # vertical excursion, closed

@@ -55,3 +55,22 @@ def test_colorize_jax_matches_numpy():
     want = colorize_disparity(d).astype(np.int32)
     got = np.asarray(colorize_disparity_jax(jnp.asarray(d))).astype(np.int32)
     assert np.abs(want - got).max() <= 1
+
+
+def test_colorize_lut_bitexact_vs_polynomial(rng):
+    """The host 256-entry Turbo LUT must be BIT-identical to the direct
+    polynomial colorization for every uint8 input (it is the polynomial,
+    precomputed)."""
+    from steroscopic_hardware_tpu.ops.colorize import (
+        colorize_disparity,
+        colorize_disparity_lut,
+        turbo_lut,
+    )
+
+    assert turbo_lut().shape == (256, 3)
+    d = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        colorize_disparity_lut(d), colorize_disparity(d))
+    np.testing.assert_array_equal(
+        colorize_disparity_lut(d, invalid_value=255),
+        colorize_disparity(d, invalid_value=255))

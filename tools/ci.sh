@@ -29,7 +29,7 @@ import json, sys
 d = json.loads(open(sys.argv[1]).readline())
 assert {"metric", "value", "unit", "vs_baseline"} <= set(d), d
 assert "error" not in d, d
-print(f"ok: {d[\"value\"]} {d[\"unit\"]} on {d[\"detail\"][\"platform\"]}")
+print("ok:", d["value"], d["unit"], "on", d["detail"]["platform"])
 ' "$BENCH_OUT"
 rm -f "$BENCH_OUT"
 

@@ -45,9 +45,12 @@ def render_sequence(args, seed=None):
     cam = StereoCamera(fx=240.0, fy=240.0, cx=160.0, cy=120.0, baseline=0.4)
     scene = SyntheticScene(cam, n_landmarks=args.landmarks, seed=seed,
                            n_occluders=args.occluders)
-    traj_fn = {"straight": straight_trajectory, "loop": loop_trajectory,
-               "helix": helix_trajectory}[args.trajectory]
-    xis = traj_fn(args.frames)
+    if args.trajectory == "straight":
+        xis = straight_trajectory(args.frames)
+    else:
+        fn = {"loop": loop_trajectory, "helix": helix_trajectory}[
+            args.trajectory]
+        xis = fn(args.frames, circuits=args.circuits)
     nrng = np.random.default_rng(seed + 7)
     frames = []
     for xi in xis:
@@ -94,12 +97,28 @@ def run_engines(args, cam, frames, gt, engines=None):
             "tracking_drops": vo.tracking_drops,
             "loops_closed": getattr(eng, "loops_closed", 0),
         }
+        if hasattr(eng, "stage_s"):
+            s = dict(eng.stage_s)
+            s["loop"] -= s["graph"]  # loop = retrieval/verify only
+            rec["stage_s"] = {k: round(v, 2) for k, v in s.items()}
+            # compiled-variant count for the bucketed pose-graph solver:
+            # O(log M) buckets over a whole run, not O(M) recompiles
+            from steroscopic_hardware_tpu.models.slam import (
+                pose_graph_optimize,
+            )
+            rec["graph_compiles"] = pose_graph_optimize._cache_size()
         out.append(rec)
+        extra = ""
+        if "stage_s" in rec:
+            st = rec["stage_s"]
+            extra = (f"  stages vo {st['vo']:.1f}s ba {st['ba']:.1f}s "
+                     f"loop {st['loop']:.1f}s graph {st['graph']:.1f}s"
+                     f" ({rec['graph_compiles']} graph compiles)")
         print(json.dumps(rec) if args.json else
               f"{name:12s} [{args.frontend}] ATE {rec['ate_rmse_m']:.4f} m"
               f"  {rec['fps']:6.1f} fps  min_inliers {rec['min_inliers']}"
               f"  drops {rec['tracking_drops']}"
-              f"  loops {rec['loops_closed']}", flush=True)
+              f"  loops {rec['loops_closed']}" + extra, flush=True)
     return out
 
 
@@ -154,6 +173,8 @@ def main():
                     choices=["straight", "loop", "helix"])
     ap.add_argument("--noise", type=float, default=0.0,
                     help="Gaussian pixel-noise sigma (sensor model)")
+    ap.add_argument("--circuits", type=int, default=1,
+                    help="loop/helix circuits (multi-loop sequences)")
     ap.add_argument("--occluders", type=int, default=0,
                     help="number of opaque near-field occluder objects")
     ap.add_argument("--gain-jitter", type=float, default=0.0,
