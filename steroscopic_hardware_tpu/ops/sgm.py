@@ -181,6 +181,14 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     production TPU path (see ``_sgm_impl``) therefore feeds this kernel
     (axis=1) both the (D, H, W) volume and a transposed-frame (D, W, H)
     volume, which together cover all 4 path directions.
+
+    STAGED (not in the production path): ``s_major=True`` ingests a
+    volume the producer already wrote scan-major, skipping the (1,0,2)
+    relayout here. It is correctness-verified (tests + verify_tpu) but
+    unwired, because ``_sgm_impl`` still needs the (D, W, H) layout for
+    ``_transpose_add_pallas`` — adopting s_major only moves the relayout
+    unless that kernel is restructured too (ADVICE r2). Kept as the
+    landing point for that restructure.
     """
     if s_major:
         # input already (S, D, K) — the producer wrote scan-major directly

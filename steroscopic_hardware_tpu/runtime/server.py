@@ -317,12 +317,43 @@ def _make_handler(ctx: AppContext):
                 except Exception:
                     pass
 
+        def _is_hx(self) -> bool:
+            """htmx-style partial rendering: the reference's
+            ``MorphableHandler`` serves the full page or just a fragment
+            depending on the ``HX-Request`` header
+            (``cmd/handlers/api.go:48-60``); same contract here."""
+            return self.headers.get("HX-Request", "").lower() == "true"
+
+        def _metrics_obj(self) -> dict:
+            m = {
+                "pipeline": ctx.pipeline.metrics(),
+                "sources": ctx.manager.status(),
+                "stream_clients": ctx.stream_clients,
+                "uptime_s": round(time.time() - ctx.started, 1),
+            }
+            if ctx.rigs:
+                m["rigs"] = {name: p.metrics()
+                             for name, p in ctx.rigs.items()}
+            return m
+
         def _do_get(self, path):
             if path == "/":
                 self._send(302, b"", extra={"Location": "/live"})
             elif path == "/live":
                 from steroscopic_hardware_tpu.version import __version__
 
+                if self._is_hx():
+                    # fragment: just the status block, for htmx swaps
+                    p = ctx.pipeline.metrics()
+                    frag = (
+                        "<div id=\"metrics\">"
+                        f"state {p.get('state', '?')} · frames "
+                        f"{p.get('frames', 0)} · fps {p.get('fps', 0)}"
+                        "</div>"
+                    )
+                    self._send(200, frag.encode(),
+                               "text/html; charset=utf-8")
+                    return
                 # build-version display (reference app.templ:92-98 reads
                 # debug.ReadBuildInfo; here the package version is
                 # stamped server-side)
@@ -338,16 +369,16 @@ def _make_handler(ctx: AppContext):
             elif path == "/params":
                 self._json(ctx.pipeline.matcher.get_params().to_json())
             elif path == "/metrics":
-                m = {
-                    "pipeline": ctx.pipeline.metrics(),
-                    "sources": ctx.manager.status(),
-                    "stream_clients": ctx.stream_clients,
-                    "uptime_s": round(time.time() - ctx.started, 1),
-                }
-                if ctx.rigs:
-                    m["rigs"] = {name: p.metrics()
-                                 for name, p in ctx.rigs.items()}
-                self._json(m)
+                m = self._metrics_obj()
+                if self._is_hx():
+                    # HTML fragment for htmx polling clients; JSON stays
+                    # the API representation
+                    body = ("<pre id=\"metrics\">"
+                            + json.dumps(m, indent=1)
+                            + "</pre>").encode()
+                    self._send(200, body, "text/html; charset=utf-8")
+                else:
+                    self._json(m)
             elif path == "/slam":
                 if ctx.slam_pipeline is None:
                     self._json({"enabled": False}, code=404)

@@ -281,3 +281,27 @@ def test_ports_advertises_emitters_and_configured_sources(server, rng):
                    for p in cfg)
     finally:
         em.close()
+
+
+def test_hx_request_serves_fragments(server):
+    """htmx-style partial rendering (reference MorphableHandler,
+    cmd/handlers/api.go:48-60): the same route serves the full page (or
+    JSON) normally and an HTML fragment when HX-Request: true."""
+    req = urllib.request.Request(server + "/metrics",
+                                 headers={"HX-Request": "true"})
+    with urllib.request.urlopen(req, timeout=5) as r:
+        assert "text/html" in r.headers.get("Content-Type", "")
+        body = r.read()
+    assert body.startswith(b"<pre") and b"pipeline" in body
+
+    req = urllib.request.Request(server + "/live",
+                                 headers={"HX-Request": "true"})
+    with urllib.request.urlopen(req, timeout=5) as r:
+        frag = r.read()
+    assert frag.startswith(b"<div") and b"<html" not in frag
+
+    # without the header: JSON and the full page
+    _, body, _ = _get(server + "/metrics")
+    json.loads(body)
+    _, page, _ = _get(server + "/live")
+    assert b"<html" in page

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Live-serving benchmark: sustained fps through the real transport.
+
+Boots the production server (``python -m steroscopic_hardware_tpu``) as a
+subprocess in each configuration, waits for the pipeline to warm up,
+samples ``/metrics`` over a measurement window, and reports sustained
+fps, per-frame latency, and the wire traffic per published frame — the
+BENCH.md serving matrix (VERDICT r2 directives #6 and #10: the tunnel
+fps for SAD host-colorize/device-colorize/preview and the SGM engine's
+serving row).
+
+Wire accounting per published frame (uint8, VGA=640x480):
+  upload:   2 * H * W (the stereo pair; batching amortizes RPC overhead
+            but not payload)
+  fetch:    host-colorize: H*W (depth only)
+            device-colorize full: (B+3)*H*W / B
+            light (preview k, device): H*W + 3*H*W/k^2
+            light (preview k, host):   H*W
+
+  python tools/serve_bench.py [--secs 30] [--configs sad,sad-dev,...]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PORT = 8199
+H, W = 480, 640
+
+CONFIGS = {
+    # name: (extra server args, bytes-fetched-per-published-frame fn)
+    "sad": ([], lambda B, k: H * W),
+    "sad-dev": (["--device-colorize"], lambda B, k: (B + 3) * H * W // B),
+    "sad-light2": (["--preview-scale", "2"], lambda B, k: H * W),
+    "sad-dev-light2": (["--device-colorize", "--preview-scale", "2"],
+                       lambda B, k: H * W + 3 * H * W // 4),
+    "sad-lr": (["--lr-check"], lambda B, k: H * W),
+    "sgm": (["--backend", "sgm"], lambda B, k: H * W),
+    "sgm-lr": (["--backend", "sgm", "--lr-check"], lambda B, k: H * W),
+}
+
+
+def fetch_json(path, timeout=5.0):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}{path}", timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def run_config(name, secs, warmup_s, compile_wait_s):
+    args, fetch_bytes = CONFIGS[name]
+    env = os.environ.copy()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "steroscopic_hardware_tpu",
+         "--port", str(PORT), "--no-open", "--fps", "60"] + args,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+    )
+    try:
+        # wait for first frames (first compile can take minutes through
+        # the tunnel)
+        deadline = time.time() + compile_wait_s
+        frames = 0
+        while time.time() < deadline:
+            try:
+                m = fetch_json("/metrics")
+                frames = m["pipeline"]["frames"]
+                if frames >= 5:
+                    break
+            except Exception:
+                pass
+            time.sleep(2.0)
+        if frames < 5:
+            return {"config": name, "error":
+                    f"no frames within {compile_wait_s}s (wedged compile?)"}
+        time.sleep(warmup_s)
+        m0 = fetch_json("/metrics")
+        t0 = time.time()
+        time.sleep(secs)
+        m1 = fetch_json("/metrics")
+        dt = time.time() - t0
+        df = m1["pipeline"]["frames"] - m0["pipeline"]["frames"]
+        fps = df / dt
+        up = 2 * H * W
+        down = fetch_bytes(8, 2)
+        return {
+            "config": name,
+            "fps": round(fps, 1),
+            "frames": df,
+            "window_s": round(dt, 1),
+            "ms_p50": m1["pipeline"].get("ms_p50"),
+            "dropped": m1["pipeline"].get("dropped", 0),
+            "upload_kb_per_frame": round(up / 1024, 1),
+            "fetch_kb_per_frame": round(down / 1024, 1),
+            "wire_mb_s": round((up + down) * fps / 1e6, 2),
+        }
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        time.sleep(2.0)  # let the chip lock clear
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--secs", type=float, default=30.0)
+    ap.add_argument("--warmup", type=float, default=8.0)
+    ap.add_argument("--compile-wait", type=float, default=420.0)
+    ap.add_argument("--configs", default="sad,sad-dev,sad-light2,sgm")
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    rows = []
+    for name in args.configs.split(","):
+        name = name.strip()
+        if name not in CONFIGS:
+            print(f"unknown config {name!r}; have {sorted(CONFIGS)}")
+            continue
+        rec = run_config(name, args.secs, args.warmup, args.compile_wait)
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
