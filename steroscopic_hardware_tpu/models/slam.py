@@ -663,12 +663,12 @@ class StereoSLAM:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "fix_first", "cg_iters"),
+    static_argnames=("iters", "fix_first", "cg_iters", "axis_name"),
 )
 def pose_graph_optimize(
     xi_nodes, edges_ij, xi_meas, weights, *, iters: int = 15,
     damping: float = 1e-4, fix_first: bool = True, cg_iters: int = 100,
-    cg_tol: float = 1e-8,
+    cg_tol: float = 1e-8, axis_name: str | None = None,
 ):
     """Gauss-Newton pose graph optimization, block-sparse.
 
@@ -684,6 +684,15 @@ def pose_graph_optimize(
     Returns optimized (M, 6) twists and per-iteration weighted costs.
 
     Residual per edge: log( exp(xi_meas)^-1 * T_j * T_i^-1 ).
+
+    ``axis_name``: when set, the EDGE arrays hold only this device's
+    shard and every edge-summed quantity (gradient, preconditioner
+    blocks, H·v, cost) is ``psum``'d over that mesh axis — the same
+    replicated-state/sharded-terms collective pattern as the distributed
+    Schur BA (``parallel/ba_dist.py``). Nodes and the CG state stay
+    replicated (M·6 floats — tiny), so the pod-scale axis is the one
+    that grows (edges), per SURVEY §7 phase 5 "pose-graph optimization
+    across the pod". Wrapper: ``parallel/pg_dist.py``.
 
     The normal equations exploit the pose graph's block structure
     instead of the round-2 dense form (a jacfwd over all M nodes, an
@@ -733,6 +742,11 @@ def pose_graph_optimize(
 
     m = dof_mask()
 
+    def esum(x):
+        """Reduce an edge-summed quantity over the mesh axis (identity
+        single-device)."""
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
     def gn_step(xi_all, _):
         r, Ji, Jj = jax.vmap(edge_r_J)(
             xi_all[ei], xi_all[ej], xi_meas
@@ -740,7 +754,7 @@ def pose_graph_optimize(
         w = weights[:, None]
 
         # gradient g = sum_e J_e^T w r_e, scattered to incident nodes
-        g = (
+        g = esum(
             jnp.zeros((M, 6))
             .at[ei].add(jnp.einsum("eab,ea->eb", Ji, r * w))
             .at[ej].add(jnp.einsum("eab,ea->eb", Jj, r * w))
@@ -748,9 +762,13 @@ def pose_graph_optimize(
 
         # block-Jacobi preconditioner: per-node 6x6 diagonal blocks
         diag = (
-            jnp.zeros((M, 6, 6))
-            .at[ei].add(jnp.einsum("eab,eac->ebc", Ji, Ji * w[..., None]))
-            .at[ej].add(jnp.einsum("eab,eac->ebc", Jj, Jj * w[..., None]))
+            esum(
+                jnp.zeros((M, 6, 6))
+                .at[ei].add(jnp.einsum("eab,eac->ebc", Ji,
+                                       Ji * w[..., None]))
+                .at[ej].add(jnp.einsum("eab,eac->ebc", Jj,
+                                       Jj * w[..., None]))
+            )
             + damping * eye6
         )
         # fixed/padded dofs act as identity rows (kept PD)
@@ -763,9 +781,11 @@ def pose_graph_optimize(
             s = (jnp.einsum("eab,eb->ea", Ji, vm[ei])
                  + jnp.einsum("eab,eb->ea", Jj, vm[ej])) * w
             out = (
-                jnp.zeros((M, 6))
-                .at[ei].add(jnp.einsum("eab,ea->eb", Ji, s))
-                .at[ej].add(jnp.einsum("eab,ea->eb", Jj, s))
+                esum(
+                    jnp.zeros((M, 6))
+                    .at[ei].add(jnp.einsum("eab,ea->eb", Ji, s))
+                    .at[ej].add(jnp.einsum("eab,ea->eb", Jj, s))
+                )
                 + damping * vm
             )
             return out * m + (v - vm)
@@ -802,7 +822,7 @@ def pose_graph_optimize(
             cg_cond, cg_body, (d0, r0, z0, p0, rz0, 0)
         )
         xi_new = jax.vmap(retract)(delta * m, xi_all)
-        return xi_new, (r**2 * weights[:, None]).sum()
+        return xi_new, esum((r**2 * weights[:, None]).sum())
 
     xi_out, costs = jax.lax.scan(gn_step, xi_nodes, None, length=iters)
     return xi_out, costs
