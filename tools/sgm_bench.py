@@ -162,6 +162,40 @@ def main():
         return (av + disp.astype(jnp.uint8)[None], ah)
     row("stage: fused Pallas epilogue (raw)", epi_raw_step, (av0, ah0))
 
+    # ---- cumulative prefixes of the REAL composed program -------------
+    # Times pipeline prefixes to localize costs that only appear in the
+    # composed program (inter-stage relayouts, rematerialization):
+    # each prefix chains image -> ... -> uint8 image.
+    def prefix(upto):
+        def step(x):
+            ct = census_cost_volume_T(x, R, max_disparity=D)
+            if upto == "census":
+                return (x + ct[0].T).astype(jnp.uint8)
+            cost = _transpose_add_pallas(ct, out_dtype=jnp.bfloat16)
+            if upto == "ta":
+                return (x + cost[0].astype(jnp.uint8)).astype(jnp.uint8)
+            agg_v = _aggregate_axis_pallas(cost, 1.0, 8.0, axis=1,
+                                           out_dtype=jnp.uint8)
+            if upto == "agg_v":
+                return (x + agg_v[0]).astype(jnp.uint8)
+            agg_ht = _aggregate_axis_pallas(ct, 1.0, 8.0, axis=1,
+                                            out_dtype=jnp.uint8)
+            if upto == "agg_ht":
+                return (x + agg_v[0] + agg_ht[0].T).astype(jnp.uint8)
+            Dv = agg_v.shape[0]
+            Hp2, Wp2 = _round_up(H, 128), _round_up(W, 128)
+            av = jnp.pad(agg_v, ((0, 0), (0, Hp2 - H), (0, Wp2 - W)))
+            ah = jnp.pad(agg_ht, ((0, 0), (0, Wp2 - W), (0, Hp2 - H)))
+            if upto == "pads":
+                return (x + av[0, :H, :W] + ah[0, :W, :H].T).astype(
+                    jnp.uint8)
+            disp = _sgm_epilogue_pallas(av, ah, D=Dv, subpixel=True)
+            return jnp.clip(disp[:H, :W] * 4.0, 0, 255).astype(jnp.uint8)
+        return step
+
+    for upto in ("census", "ta", "agg_v", "agg_ht", "pads", "full"):
+        row(f"prefix: through {upto}", prefix(upto), L)
+
 
 if __name__ == "__main__":
     main()
