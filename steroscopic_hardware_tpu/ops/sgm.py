@@ -380,8 +380,12 @@ def _transpose_add_pallas(aT, b=None, interpret: bool = False,
         out_dtype = aT.dtype
     is_u8 = aT.dtype == jnp.uint8
     assert not (is_u8 and out_dtype == jnp.uint8)
-    TD, TA, TB = 8, 128, 128
-    Dp = _round_up(D, 32 if is_u8 else TD)
+    # TD scales with the input dtype's sublane tile: the TD=8 form ran a
+    # 240-step grid at VGA d64 whose per-step sequencing cost dominated
+    # (same finding as the fused epilogue — BENCH.md r3 anomaly).
+    TA, TB = 128, 128
+    TD = {1: 32, 2: 16}.get(aT.dtype.itemsize, 8)
+    Dp = _round_up(D, max(TD, 32 if is_u8 else TD))
     Ap = _round_up(A, TA)
     Bp = _round_up(B, TB)
     aTp = jnp.pad(aT, ((0, Dp - D), (0, Bp - B), (0, Ap - A)))
@@ -391,10 +395,13 @@ def _transpose_add_pallas(aT, b=None, interpret: bool = False,
                                     (0, Bp - B))))
 
     mm_dtype = jnp.float32 if is_u8 else aT.dtype
-    # HIGHEST keeps f32 operands from bf16 truncation in the MXU; for
-    # bf16 operands it is unsupported (and unneeded — a 0/1 identity
-    # times exactly-representable values is exact natively).
-    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+    # HIGHEST keeps true-f32 operands from bf16 truncation in the MXU;
+    # bf16 operands are exact natively (0/1 identity times exactly-
+    # representable values), and the u8 census costs (integers <= 24,
+    # bf16-exact) take the 1-pass DEFAULT mode instead of the 3-pass f32
+    # HIGHEST emulation.
+    prec = (jax.lax.Precision.HIGHEST
+            if (mm_dtype == jnp.float32 and not is_u8)
             else jax.lax.Precision.DEFAULT)
 
     def kernel(aT_ref, *rest):
@@ -460,16 +467,31 @@ def _sgm_epilogue_pallas(agg_v, agg_ht, *, D: int, subpixel: bool,
     assert agg_ht.shape == (Dv, Wp, Hp), (agg_v.shape, agg_ht.shape)
     assert Hp % 128 == 0 and Wp % 128 == 0, (Hp, Wp)
     is_u8 = agg_v.dtype == jnp.uint8
-    TD, TA, TB = 8, 128, 128
+    # TD scales with the dtype's sublane tile so the d-grid stays SHORT:
+    # the round-2 TD=8 form ran 240 grid steps at VGA d64 and its
+    # ~15-30 us/step sequencing cost dominated the whole epilogue
+    # (measured slower than the unfused transpose-add + XLA epilogue it
+    # replaced — BENCH.md r3 anomaly). u8 tier: TD=32 -> 4x fewer steps
+    # at identical VMEM block residency per byte.
+    TA, TB = 128, 128
+    TD = {1: 32, 2: 16}.get(agg_v.dtype.itemsize, 8)
     # 8-bit VMEM tiles are (32, 128) on the sublane axis; the d-pad only
     # affects block counts, and zero-pad slices are masked by d < D below.
-    Dp = _round_up(Dv, 32 if is_u8 else TD)
+    Dp = _round_up(Dv, max(TD, 32 if is_u8 else TD))
     if Dp != Dv:
         agg_v = jnp.pad(agg_v, ((0, Dp - Dv), (0, 0), (0, 0)))
         agg_ht = jnp.pad(agg_ht, ((0, Dp - Dv), (0, 0), (0, 0)))
     n_dg = Dp // TD
     mm_dtype = jnp.float32 if is_u8 else agg_ht.dtype
-    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+    # Precision of the dot-with-identity transpose: each output element
+    # is exactly ONE product x * 1.0, so it is exact whenever x survives
+    # the bf16 input rounding. u8 aggregates are integers <= 255 — all
+    # exactly representable in bf16 — so the u8 tier takes the 1-pass
+    # DEFAULT MXU mode instead of the 3-pass f32 HIGHEST emulation. The
+    # f32 tier (fractional penalties) keeps HIGHEST for bit-identity with
+    # the XLA path.
+    prec = (jax.lax.Precision.HIGHEST
+            if (mm_dtype == jnp.float32 and not is_u8)
             else jax.lax.Precision.DEFAULT)
 
     def kernel(v_ref, ht_ref, o_ref, best, bestd, c0, c2, prev):
@@ -698,6 +720,7 @@ def sgm_disparity(
     subpixel: bool = True,
     backend: str = "auto",
     interpret: bool = False,
+    epilogue: str = "unfused",
 ):
     """SGM disparity from a rectified uint8 stereo pair.
 
@@ -714,16 +737,30 @@ def sgm_disparity(
     to ~4 disparity units (verified against a CPU reference). The hybrid
     is bit-stable, matches the CPU reference to float rounding, and is
     measured faster (23.8ms vs 26ms at 640x480 D=64).
+
+    ``epilogue`` (pallas backend only): "unfused" (default — MXU
+    transpose-add of the two aggregates into a summed volume + XLA
+    masked-reduction argmin/subpixel; measured 2.90 ms vs the fused
+    kernel's 4.96 ms at VGA d64 on v5e, tools/sgm_bench.py 2026-08-21)
+    or "fused" (the one-pass Pallas epilogue kernel — the summed volume
+    never reaches HBM; composes ~2 ms of inter-stage relayout in the
+    full program, so it loses end-to-end on a single chip despite
+    winning in isolation; still used per-shard by parallel/sgm_shard
+    where the W-band volumes are n-times smaller). Results are
+    identical (exact small-integer sums, same first-min/parabola
+    arithmetic; the equality is asserted in tests/test_sgm.py).
     """
     if backend == "auto":
         backend = _default_sgm_backend()
     if backend not in ("pallas", "xla"):
         raise ValueError(f"unknown backend {backend!r}")
+    if epilogue not in ("unfused", "fused"):
+        raise ValueError(f"unknown epilogue {epilogue!r}")
     return _sgm_impl(
         left, right,
         P1=float(P1), P2=float(P2),
         max_disparity=max_disparity, subpixel=subpixel,
-        backend=backend, interpret=interpret,
+        backend=backend, interpret=interpret, epilogue=epilogue,
     )
 
 
@@ -734,6 +771,7 @@ def sgm_disparity(
     jax.jit,
     static_argnames=(
         "P1", "P2", "max_disparity", "subpixel", "backend", "interpret",
+        "epilogue",
     ),
 )
 def _sgm_impl(
@@ -746,6 +784,7 @@ def _sgm_impl(
     subpixel: bool,
     backend: str,
     interpret: bool,
+    epilogue: str = "unfused",
 ):
     if backend == "pallas":
         # Both path families run the SAME grid-stepped Pallas kernel: the
@@ -775,6 +814,27 @@ def _sgm_impl(
         # bandwidth, see _u8_exact) or bfloat16 (half, see _bf16_exact)
         # with bit-identical disparities. The default P1=1/P2=8 takes the
         # uint8 tier; bf16 covers only the sliver P2=104, f32 the rest.
+        if epilogue == "unfused":
+            # Production default (measured 2.90 vs 4.96 ms at VGA d64 —
+            # see sgm_disparity docstring): sum the two aggregates into
+            # one volume via the MXU transpose-add, then the XLA masked-
+            # reduction epilogue. The transpose-add widens its `b`
+            # operand with a direct cast, which Mosaic lacks for uint8,
+            # so the aggregate tier floor is bf16 (u8-exact values
+            # <= 255 are bf16-exact integers — same disparities).
+            agg_dtype = (jnp.bfloat16
+                         if (_u8_exact(P1, P2) or _bf16_exact(P1, P2))
+                         else jnp.float32)
+            agg_v = _aggregate_axis_pallas(cost, P1, P2, axis=1,
+                                           interpret=interpret,
+                                           out_dtype=agg_dtype)
+            agg_ht = _aggregate_axis_pallas(cost_t, P1, P2, axis=1,
+                                            interpret=interpret,
+                                            out_dtype=agg_dtype)
+            agg = _transpose_add_pallas(agg_ht, agg_v,
+                                        interpret=interpret,
+                                        out_dtype=jnp.float32)
+            return _epilogue_xla(agg, subpixel)
         if _u8_exact(P1, P2):
             agg_dtype = jnp.uint8
         elif _bf16_exact(P1, P2):
@@ -794,6 +854,9 @@ def _sgm_impl(
         # pixels compute garbage independently and are cropped). No
         # optimization_barrier needed: there is no XLA epilogue left to
         # mis-fuse into the scan output (see sgm_disparity docstring).
+        # Wins in isolation but composes ~2 ms of inter-stage relayout in
+        # the full program (BENCH.md r3) — kept for the sharded engine
+        # and for epilogue="fused" callers.
         Hd, Wd = left.shape
         D = agg_v.shape[0]
         Hp = _round_up(Hd, 128)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from steroscopic_hardware_tpu.ops.census import (
     census5x5,
@@ -116,14 +117,15 @@ def test_sgm_pallas_aggregation_matches_xla(rng):
         assert np.array_equal(got, want), f"axis {axis} mismatch"
 
 
-def test_sgm_pallas_backend_end_to_end(rng):
+@pytest.mark.parametrize("epilogue", ["unfused", "fused"])
+def test_sgm_pallas_backend_end_to_end(rng, epilogue):
     left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
     right = np.roll(left, -3, axis=1)
     a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
                                  max_disparity=16, backend="xla"))
     b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
                                  max_disparity=16, backend="pallas",
-                                 interpret=True))
+                                 interpret=True, epilogue=epilogue))
     assert np.array_equal(a, b)
 
 
@@ -305,8 +307,9 @@ def test_sgm_pallas_fractional_penalties(rng):
     assert np.allclose(got, want, atol=1e-4)
 
 
-def test_sgm_fused_epilogue_matches_xla_no_subpixel(rng):
-    """The fused Pallas epilogue's raw-argmin path (subpixel=False) must
+@pytest.mark.parametrize("epilogue", ["unfused", "fused"])
+def test_sgm_fused_epilogue_matches_xla_no_subpixel(rng, epilogue):
+    """Both Pallas epilogues' raw-argmin paths (subpixel=False) must
     match the XLA backend exactly, including first-minimum tie-breaks."""
     left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
     right = np.roll(left, -3, axis=1)
@@ -315,7 +318,8 @@ def test_sgm_fused_epilogue_matches_xla_no_subpixel(rng):
                                  backend="xla"))
     b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
                                  max_disparity=16, subpixel=False,
-                                 backend="pallas", interpret=True))
+                                 backend="pallas", interpret=True,
+                                 epilogue=epilogue))
     assert np.array_equal(a, b)
 
 
@@ -330,11 +334,12 @@ def test_sgm_fused_epilogue_winner_at_sweep_borders(rng):
         right = np.roll(left, shift, axis=1)
         a = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
                                      max_disparity=16, backend="xla"))
-        b = np.asarray(sgm_disparity(jnp.asarray(left), jnp.asarray(right),
-                                     max_disparity=16, backend="pallas",
-                                     interpret=True))
-        assert np.array_equal(a, b), shift
-        assert np.isfinite(b).all()
+        for epi in ("unfused", "fused"):
+            b = np.asarray(sgm_disparity(
+                jnp.asarray(left), jnp.asarray(right), max_disparity=16,
+                backend="pallas", interpret=True, epilogue=epi))
+            assert np.array_equal(a, b), (shift, epi)
+            assert np.isfinite(b).all()
 
 
 def test_sgm_lr_left_matches_plain(rng):

@@ -114,6 +114,28 @@ def main():
         return jnp.clip(dl * 4.0, 0, 255).astype(jnp.uint8)
     row("sgm fused LR (summed vol + XLA epilogue)", lr_step, L)
 
+    # plain disparity through the LR-style UNFUSED epilogue (summed
+    # volume via MXU transpose-add + XLA masked reductions) — candidate
+    # production path if the fused-epilogue composition stays slower
+    from steroscopic_hardware_tpu.ops.sgm import (
+        _bf16_exact,
+        _epilogue_xla,
+    )
+
+    def plain_unfused_step(x):
+        ct = census_cost_volume_T(x, R, max_disparity=D)
+        cost = _transpose_add_pallas(ct, out_dtype=jnp.bfloat16)
+        agg_dtype = jnp.bfloat16 if _bf16_exact(1.0, 8.0) else jnp.float32
+        agg_v = _aggregate_axis_pallas(cost, 1.0, 8.0, axis=1,
+                                       out_dtype=agg_dtype)
+        agg_ht = _aggregate_axis_pallas(ct, 1.0, 8.0, axis=1,
+                                        out_dtype=agg_dtype)
+        agg = _transpose_add_pallas(agg_ht, agg_v,
+                                    out_dtype=jnp.float32)
+        disp = _epilogue_xla(agg, True)
+        return jnp.clip(disp * 4.0, 0, 255).astype(jnp.uint8)
+    row("sgm plain via summed vol + XLA epilogue", plain_unfused_step, L)
+
     # ---- stages ------------------------------------------------------
     def census_step(x):
         ct = census_cost_volume_T(x, R, max_disparity=D)

@@ -194,6 +194,22 @@ def main():
         with jax.default_device(jax.devices("cpu")[0]):
             return np.asarray(sgm_disparity(Lc, Rc, backend="xla", **kw))
 
+    # Both production epilogues vs the XLA reference (the unfused
+    # summed-volume form is the single-chip default since r3 — measured
+    # 1.7x the fused kernel end-to-end; the fused kernel remains the
+    # per-shard epilogue of parallel/sgm_shard.py)
+    def sgm_epilogues():
+        want = cpu_sgm(max_disparity=64, subpixel=False)
+        for epi in ("unfused", "fused"):
+            got = np.asarray(sgm_disparity(
+                L, R, max_disparity=64, subpixel=False,
+                backend="pallas", epilogue=epi))
+            n = int((want != got).sum())
+            if n:
+                return False, f"epilogue={epi}: {n} mismatched pixels"
+        return True, "unfused and fused epilogues bit-exact"
+    run("sgm epilogue variants == XLA(cpu)", sgm_epilogues)
+
     # u8 tier (default P1=1 P2=8), raw integer argmin: must be bit-exact
     def sgm_raw_u8():
         want = cpu_sgm(max_disparity=64, subpixel=False)
