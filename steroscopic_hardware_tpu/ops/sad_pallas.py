@@ -55,7 +55,16 @@ def _pick_row_tile(row_tile: int, H: int, W: int, h: int,
     """Largest row tile <= row_tile whose VMEM footprint (DMA stages +
     int32 working set + argmin accumulators + box-sum temporaries + any
     LR/with_costs extras and output blocks) fits the budget — keeps 4K
-    frames compiling without manual tuning."""
+    frames compiling without manual tuning.
+
+    At the d256 envelope edge the COMPILER's working set fails before
+    VMEM does: 1080p b31/d256 at TH=128 (est ~10 MB, inside the 12 MB
+    budget) deterministically crashes the remote tpu_compile_helper,
+    while TH=64 compiles and runs at 17.6 ms (measured 2026-08-21, see
+    BENCH.md). Halve the budget for d >= 256 so the picker lands on the
+    tile the toolchain can actually build."""
+    if max_disparity >= 256:
+        budget_bytes = min(budget_bytes, 6 << 20)
     TH = min(row_tile, _round_up(max(H, 8), 8))
     while TH > 8:
         Wout = _round_up(W, 128)
@@ -277,7 +286,8 @@ def disparity_pallas(
         raise ValueError("left/right must be identical-shape (H, W) images")
     H, W = left.shape
     h = block_size // 2
-    TH = _pick_row_tile(row_tile, H, W, h)
+    TH = _pick_row_tile(row_tile, H, W, h,
+                        max_disparity=max_disparity)
     n_tiles = -(-H // TH)
     # Native-tile-aligned shapes: lane dims multiples of 128, sublane loads
     # multiples of 8, so Mosaic keeps everything in the natural layout.
@@ -371,7 +381,8 @@ def disparity_pallas_batch(
         raise ValueError("expected identical (F, H, W) uint8 stacks")
     F, H, W = lefts.shape
     h = block_size // 2
-    TH = _pick_row_tile(row_tile, H, W, h)
+    TH = _pick_row_tile(row_tile, H, W, h,
+                        max_disparity=max_disparity)
     n_t = -(-H // TH)
     Wout = _round_up(W, 128)
     Wbuf = _round_up(Wout + 2 * h, 128)
