@@ -52,8 +52,40 @@ def fetch_json(path, timeout=5.0):
         return json.loads(r.read())
 
 
+def tunnel_bandwidth_mb_s():
+    """Measure current tunnel data-plane bandwidth by fetching a 4 MB
+    device array (the tunnel swings 15-100 MB/s over minutes, so every
+    config row records the window it ran in). Runs in a SHORT-LIVED
+    subprocess: only one process may hold the chip, and the server
+    subprocess needs it next."""
+    code = (
+        # device-COMPUTED array: a host-side constant (jnp.ones) never
+        # crosses the wire and measures ~infinite bandwidth
+        "import time,jax,jax.numpy as jnp,numpy as np\n"
+        "h=np.random.default_rng(0).integers(0,256,(4<<20,),dtype=np.uint8)\n"
+        "y=jax.jit(lambda a: a ^ np.uint8(1))(jax.device_put(h))\n"
+        "y.block_until_ready()\n"
+        "best=0.0\n"
+        "for _ in range(3):\n"
+        "    t0=time.perf_counter(); np.asarray(y)\n"
+        "    best=max(best,(4<<20)/(time.perf_counter()-t0)/1e6)\n"
+        "print(round(best,1))\n"
+    )
+    env = os.environ.copy()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=120, env=env,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def run_config(name, secs, warmup_s, compile_wait_s):
     args, fetch_bytes = CONFIGS[name]
+    bw = tunnel_bandwidth_mb_s()
     env = os.environ.copy()
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     proc = subprocess.Popen(
@@ -98,6 +130,7 @@ def run_config(name, secs, warmup_s, compile_wait_s):
             "upload_kb_per_frame": round(up / 1024, 1),
             "fetch_kb_per_frame": round(down / 1024, 1),
             "wire_mb_s": round((up + down) * fps / 1e6, 2),
+            "tunnel_bw_mb_s": bw,
         }
     finally:
         proc.terminate()
