@@ -213,9 +213,12 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     volp = jnp.pad(vol, ((0, 0), (0, Dp - D), (0, Kp - K)),
                    constant_values=255 if is_u8 else _INF)
     # Rows per DMA chunk. TS must divide S exactly (mirrored backward
-    # indexing); power-of-two so common sizes hit 16.
+    # indexing); power-of-two so common sizes hit 32 (VGA) / 8 (1080p).
+    # Fewer, larger chunks amortize the per-chunk DMA-issue latency the
+    # sequential recursion cannot hide across chunks (r3 roofline: the
+    # scan structure, not bandwidth, limits SGM).
     TS = 1
-    while TS < 16 and S % (TS * 2) == 0:
+    while TS < 32 and S % (TS * 2) == 0:
         TS *= 2
     n_s = S // TS
     TK = _pick_col_tile(Dp, Kp, TS, vol.dtype.itemsize,

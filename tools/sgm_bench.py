@@ -98,15 +98,17 @@ def main():
                   flush=True)
 
     # ---- end-to-end variants ----------------------------------------
-    def e2e(subpixel):
+    def e2e(subpixel, epilogue="unfused"):
         def step(x):
             d = sgm_disparity(x, R, max_disparity=D, subpixel=subpixel,
-                              backend="pallas")
+                              backend="pallas", epilogue=epilogue)
             return jnp.clip(d * 4.0, 0, 255).astype(jnp.uint8)
         return step
 
-    row("sgm plain raw (fused epilogue)", e2e(False), L)
-    row("sgm plain subpixel (fused epilogue)", e2e(True), L)
+    row("sgm plain raw (default unfused epilogue)", e2e(False), L)
+    row("sgm plain subpixel (default unfused)", e2e(True), L)
+    row("sgm plain subpixel (fused epilogue)",
+        e2e(True, epilogue="fused"), L)
 
     def lr_step(x):
         dl, dr = sgm_disparity_lr(x, R, max_disparity=D, subpixel=True,
