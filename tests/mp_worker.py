@@ -112,6 +112,54 @@ def main():
     print(f"[p{PID}] ba_solve_sharded 8-way cross-process: converged, "
           f"matches single-device", flush=True)
 
+    # ---- edge-sharded pose graph: CG matvec psums cross the process
+    # boundary every iteration (parallel/pg_dist.py)
+    from steroscopic_hardware_tpu.models.slam import pose_graph_optimize
+    from steroscopic_hardware_tpu.ops import se3
+    from steroscopic_hardware_tpu.parallel.pg_dist import (
+        pad_edges,
+        pose_graph_optimize_sharded,
+    )
+
+    Mg = 12
+    xi_true = np.zeros((Mg, 6), np.float32)
+    step = np.array([0.4, 0, 0.1, 0, np.pi / 6, 0], np.float32)
+    for i in range(1, Mg):
+        xi_true[i] = np.asarray(se3.se3_log(*se3.compose(
+            *se3.se3_exp(jnp.asarray(step)),
+            *se3.se3_exp(jnp.asarray(xi_true[i - 1])),
+        )))
+
+    def rel(i, j):
+        Ri, ti = se3.se3_exp(jnp.asarray(xi_true[i]))
+        Rj, tj = se3.se3_exp(jnp.asarray(xi_true[j]))
+        return np.asarray(se3.se3_log(*se3.compose(
+            Rj, tj, *se3.inverse(Ri, ti))))
+
+    edges = [(i, i + 1) for i in range(Mg - 1)] + [(Mg - 1, 0)]
+    meas = np.stack([rel(i, j) for i, j in edges]).astype(np.float32)
+    wts = np.ones(len(edges), np.float32)
+    eij = np.array(edges, np.int32)
+    prng = np.random.default_rng(11)
+    xi_init = xi_true + np.concatenate(
+        [np.zeros((1, 6)), prng.normal(0, 0.05, (Mg - 1, 6))], 0
+    ).astype(np.float32)
+    single, _ = pose_graph_optimize(
+        jnp.asarray(xi_init), jnp.asarray(eij), jnp.asarray(meas),
+        jnp.asarray(wts), iters=8)
+    eij_p, meas_p, w_p = pad_edges(eij, meas, wts, 8)
+    xi_d, costs = pose_graph_optimize_sharded(
+        jnp.asarray(xi_init), jnp.asarray(eij_p), jnp.asarray(meas_p),
+        jnp.asarray(w_p), mesh=mesh8, iters=8)
+    xi_d = np.asarray(multihost_utils.process_allgather(xi_d, tiled=True))
+    costs = np.asarray(multihost_utils.process_allgather(
+        costs, tiled=True))
+    assert costs[-1] < costs[0] * 1e-3, (costs[0], costs[-1])
+    assert np.allclose(xi_d, np.asarray(single), atol=1e-4)
+    assert np.allclose(xi_d, xi_true, atol=1e-3)
+    print(f"[p{PID}] pose_graph_optimize_sharded 8-way cross-process: "
+          f"converged, matches single-device", flush=True)
+
     multihost_utils.sync_global_devices("mp_worker_done")
     print(f"MP_WORKER_OK p{PID}", flush=True)
 
