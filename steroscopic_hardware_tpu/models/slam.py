@@ -274,7 +274,7 @@ class StereoSLAM:
                  loop_closure: bool = False, loop_min_matches: int = 30,
                  loop_gap: int = 4, loop_index: str = "bow",
                  loop_top_k: int = 3, loop_min_score: float = 0.05,
-                 **vo_kwargs):
+                 pg_mesh=None, **vo_kwargs):
         self.vo = StereoVO(camera, **vo_kwargs)
         self.cam = camera
         self.window = window
@@ -313,6 +313,10 @@ class StereoSLAM:
         # per-stage wall time (s): vo front-end+tracking, window BA,
         # loop retrieval/verification, pose-graph optimize+propagate
         self.stage_s = {"vo": 0.0, "ba": 0.0, "loop": 0.0, "graph": 0.0}
+        # optional jax.sharding.Mesh: pose-graph optimizations run
+        # EDGE-SHARDED over it (parallel/pg_dist.py — the pod-scale
+        # backend; bit-comparable to the single-device solver)
+        self.pg_mesh = pg_mesh
 
     def process(self, left, right) -> np.ndarray:
         t0 = time.perf_counter()
@@ -468,10 +472,24 @@ class StereoSLAM:
         meas = np.pad(meas, ((0, Eb - E), (0, 0)))
         w = np.zeros(Eb, np.float32)
         w[:E] = 1.0
-        xi_opt, _ = pose_graph_optimize(
-            jnp.asarray(nodes), jnp.asarray(edges), jnp.asarray(meas),
-            jnp.asarray(w), iters=10,
-        )
+        if self.pg_mesh is not None:
+            from steroscopic_hardware_tpu.parallel.pg_dist import (
+                pad_edges,
+                pose_graph_optimize_sharded,
+            )
+
+            n_sh = self.pg_mesh.shape["rows"]
+            edges, meas, w = pad_edges(edges, meas, w, n_sh)
+            xi_opt, _ = pose_graph_optimize_sharded(
+                jnp.asarray(nodes), jnp.asarray(edges),
+                jnp.asarray(meas), jnp.asarray(w),
+                mesh=self.pg_mesh, iters=10,
+            )
+        else:
+            xi_opt, _ = pose_graph_optimize(
+                jnp.asarray(nodes), jnp.asarray(edges), jnp.asarray(meas),
+                jnp.asarray(w), iters=10,
+            )
         xi_opt = np.asarray(xi_opt)[:M]
         old = [kf.xi_world for kf, _ in self.kf_history]
         for (kf, _), xi in zip(self.kf_history, xi_opt):

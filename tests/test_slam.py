@@ -188,3 +188,36 @@ def test_vo_sgm_frontend_matches_sad_on_clean_sequence(rng):
     assert min(eng.n_inliers[1] for eng in engines.values()) >= 15
     assert ates["sgm"] < 0.12, ates
     assert ates["sad"] < 0.12, ates
+
+
+def test_slam_with_sharded_pose_graph_backend(rng):
+    """StereoSLAM(pg_mesh=...) routes loop-closure optimizations through
+    the edge-sharded distributed solver and tracks like the single-device
+    engine (the pod-scale backend as a product path, not just a
+    library)."""
+    from steroscopic_hardware_tpu.models.slam import StereoSLAM
+    from steroscopic_hardware_tpu.parallel.mesh import make_mesh
+    from steroscopic_hardware_tpu.utils.synth import (
+        SyntheticScene, gt_positions, loop_trajectory,
+    )
+
+    scene = SyntheticScene(CAM, size=(H, W), n_landmarks=80,
+                           seed=int(rng.integers(0, 2**31)))
+    xis = loop_trajectory(24)
+    frames = [scene.render_pair(xi) for xi in xis]
+    gt = gt_positions(xis)
+
+    kwargs = dict(block_size=7, max_disparity=32, max_keypoints=128,
+                  fast_threshold=15, window=3, kf_every=2, ba_iters=4,
+                  loop_closure=True, loop_min_matches=15, loop_gap=6)
+    plain = StereoSLAM(CAM, **kwargs)
+    sharded = StereoSLAM(CAM, pg_mesh=make_mesh(n_rows=8), **kwargs)
+    for left, right in frames:
+        plain.process(left, right)
+        sharded.process(left, right)
+    assert sharded.loops_closed == plain.loops_closed
+    assert sharded.loops_closed >= 1
+    ate_p = ate_rmse(plain.vo.positions(), gt)
+    ate_s = ate_rmse(sharded.vo.positions(), gt)
+    # identical pipeline, solver differs only in psum reduction order
+    assert abs(ate_s - ate_p) < 5e-3, (ate_p, ate_s)
