@@ -212,15 +212,33 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     # masked to _INF inside the kernel instead.)
     volp = jnp.pad(vol, ((0, 0), (0, Dp - D), (0, Kp - K)),
                    constant_values=255 if is_u8 else _INF)
-    # Rows per DMA chunk. TS must divide S exactly (mirrored backward
-    # indexing); power-of-two so common sizes hit 32 (VGA) / 8 (1080p).
-    # Fewer, larger chunks amortize the per-chunk DMA-issue latency the
-    # sequential recursion cannot hide across chunks (r3 roofline: the
-    # scan structure, not bandwidth, limits SGM).
+    # Scan-axis pad: unlock TS=32 on non-32-divisible S (e.g. 1080). A
+    # UNIFORM-cost pad row is ABSORBING for the normalized recursion
+    # (carry = c + best - m): with the previous row's carry constant K
+    # across d, best = min(K, K+P1, K+P2) = K, so best - m = 0 and the
+    # next row's carry is exactly its own cost — the recursion's
+    # boundary init. Forward hits pad rows last (outputs cropped);
+    # backward starts on them and has fully reset by the first real
+    # row, so every real output is bit-identical to the unpadded scan.
+    # The pad value 255 is finite (float tiers stay NaN-free) and
+    # uniform across ALL columns of the pad rows (jnp.pad after the
+    # d-pad), and the u8 in-kernel d-pad masking preserves the reset
+    # (255 is itself the row minimum). Gated to S >= 256 so tiny test
+    # volumes keep the historical chunking.
+    Sp = S
+    if S >= 256 and S % 32:
+        Sp = _round_up(S, 32)
+        volp = jnp.pad(volp, ((0, Sp - S), (0, 0), (0, 0)),
+                       constant_values=255 if is_u8 else 255.0)
+    # Rows per DMA chunk. TS must divide Sp exactly (mirrored backward
+    # indexing); power-of-two so common sizes hit 32 (VGA, padded
+    # 1080p). Fewer, larger chunks amortize the per-chunk DMA-issue
+    # latency the sequential recursion cannot hide across chunks (r3
+    # roofline: the scan structure, not bandwidth, limits SGM).
     TS = 1
-    while TS < 32 and S % (TS * 2) == 0:
+    while TS < 32 and Sp % (TS * 2) == 0:
         TS *= 2
-    n_s = S // TS
+    n_s = Sp // TS
     TK = _pick_col_tile(Dp, Kp, TS, vol.dtype.itemsize,
                         jnp.dtype(out_dtype).itemsize)
     n_k = Kp // TK
@@ -322,7 +340,7 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
             out_dma(s % 2, s, 0).wait()
             out_dma(s % 2, s, 1).wait()
 
-    out_shape = jax.ShapeDtypeStruct((S, Dp, Kp), out_dtype)
+    out_shape = jax.ShapeDtypeStruct((Sp, Dp, Kp), out_dtype)
     fwd, bwd = pl.pallas_call(
         kernel,
         grid=(n_k,),
@@ -348,9 +366,9 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
         # u8 + u8 would wrap; widen, add, narrow (sums <= 2*(24+P2) <= 254
         # under the _u8_exact gate). XLA fuses this into one pass.
         both = (fwd.astype(jnp.int32)
-                + bwd.astype(jnp.int32)).astype(jnp.uint8)[:, :D, :K]
+                + bwd.astype(jnp.int32)).astype(jnp.uint8)[:S, :D, :K]
     else:
-        both = (fwd + bwd)[:, :D, :K]           # (S, D, K)
+        both = (fwd + bwd)[:S, :D, :K]          # (S, D, K)
     if axis == 1:
         return jnp.transpose(both, (1, 0, 2))
     return jnp.transpose(both, (1, 2, 0))

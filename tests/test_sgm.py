@@ -402,3 +402,28 @@ def test_sgm_matcher_compute_checked(rng):
     out, valid = m.compute_checked(left, right)
     assert out.dtype == np.uint8 and out.shape == left.shape
     assert valid.dtype == bool and valid[8:-8, 8:40].mean() > 0.7
+
+
+@pytest.mark.parametrize("out_dtype", ["uint8", "float32"])
+def test_aggregate_kernel_scan_pad_bitexact(rng, out_dtype):
+    """S >= 256 and S % 32 != 0 triggers the absorbing scan-axis pad
+    (TS=32 on e.g. 1080-row frames); the padded kernel must stay
+    bit-exact vs the unpadded XLA scan — uniform pad rows reset the
+    normalized recursion to its boundary init, so no real row can see
+    them."""
+    from steroscopic_hardware_tpu.ops.sgm import (
+        _aggregate_axis,
+        _aggregate_axis_pallas,
+    )
+
+    S, D, K = 296, 12, 128           # 296 % 32 == 8 -> pads to 320
+    c = rng.integers(0, 25, (D, S, K)).astype(np.uint8)
+    want = np.asarray(_aggregate_axis(
+        jnp.asarray(c.astype(np.float32)), 1.0, 8.0, axis=1))
+    dt = jnp.uint8 if out_dtype == "uint8" else jnp.float32
+    cin = jnp.asarray(c if out_dtype == "uint8"
+                      else c.astype(np.float32))
+    got = np.asarray(_aggregate_axis_pallas(
+        cin, 1.0, 8.0, axis=1, out_dtype=dt, interpret=True))
+    assert got.shape == want.shape
+    assert np.array_equal(got.astype(np.float32), want)
