@@ -315,8 +315,21 @@ class StereoSLAM:
         self.stage_s = {"vo": 0.0, "ba": 0.0, "loop": 0.0, "graph": 0.0}
         # optional jax.sharding.Mesh: pose-graph optimizations run
         # EDGE-SHARDED over it (parallel/pg_dist.py — the pod-scale
-        # backend; bit-comparable to the single-device solver)
+        # backend; bit-comparable to the single-device solver). The shard
+        # axis is derived here so a misnamed mesh fails at construction,
+        # not at the first loop closure deep into a run (ADVICE r3).
         self.pg_mesh = pg_mesh
+        self._pg_axis = None
+        if pg_mesh is not None:
+            if len(pg_mesh.axis_names) == 1:
+                self._pg_axis = pg_mesh.axis_names[0]
+            elif "rows" in pg_mesh.axis_names:
+                self._pg_axis = "rows"
+            else:
+                raise ValueError(
+                    "pg_mesh must have a single axis (or one named "
+                    f"'rows'); got axes {pg_mesh.axis_names}"
+                )
 
     def process(self, left, right) -> np.ndarray:
         t0 = time.perf_counter()
@@ -478,12 +491,13 @@ class StereoSLAM:
                 pose_graph_optimize_sharded,
             )
 
-            n_sh = self.pg_mesh.shape["rows"]
+            n_sh = self.pg_mesh.shape[self._pg_axis]
             edges, meas, w = pad_edges(edges, meas, w, n_sh)
             xi_opt, _ = pose_graph_optimize_sharded(
                 jnp.asarray(nodes), jnp.asarray(edges),
                 jnp.asarray(meas), jnp.asarray(w),
                 mesh=self.pg_mesh, iters=10,
+                axis_name=self._pg_axis,
             )
         else:
             xi_opt, _ = pose_graph_optimize(

@@ -22,6 +22,21 @@ from steroscopic_hardware_tpu.runtime.bus import FrameBus
 from steroscopic_hardware_tpu.runtime.logger import get_logger
 
 
+def _mean_pool2d(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k host-side mean pool (uint8 in/out), matching the on-device
+    preview downscale so the host-LUT light mode previews identical
+    content instead of an aliased [::k, ::k] subsample (ADVICE r3)."""
+    if k <= 1:
+        return img
+    H, W = img.shape[:2]
+    h, w = H - H % k, W - W % k
+    pooled = (
+        img[:h, :w].reshape(h // k, k, w // k, k)
+        .astype(np.float32).mean(axis=(1, 3))
+    )
+    return np.round(pooled).astype(np.uint8)
+
+
 class DepthPipeline:
     def __init__(self, bus: FrameBus, matcher: BlockMatcher | None = None,
                  left_slot="left", right_slot="right", out_slot="out",
@@ -113,7 +128,8 @@ class DepthPipeline:
                 and hasattr(self.matcher, "compute_serve_async")):
             # depth-only fetch + host LUT colorize; preview_scale > 1
             # additionally coalesces to the newest frame (light mode) and
-            # decimates the preview host-side (free slicing)
+            # mean-pools the preview host-side before the LUT (same
+            # content as the on-device downscale path)
             depths = np.asarray(self.matcher.compute_serve_async(
                 [p for _, p in pairs], lr=self.lr_check,
                 fetch_all=(k == 1), colorize_dev=False,
@@ -122,9 +138,7 @@ class DepthPipeline:
                 colorize_disparity_lut,
             )
 
-            rgb = colorize_disparity_lut(
-                depths[-1][::k, ::k] if k > 1 else depths[-1]
-            )
+            rgb = colorize_disparity_lut(_mean_pool2d(depths[-1], k))
         elif (self.colorize and k > 1
                 and hasattr(self.matcher, "compute_serve_async")):
             # light fetch: 1D [newest depth | downscaled RGB preview]

@@ -345,8 +345,11 @@ def _make_handler(ctx: AppContext):
                 if self._is_hx():
                     # fragment: just the status block, for htmx swaps
                     p = ctx.pipeline.metrics()
+                    # distinct ID from the /metrics <pre id="metrics">
+                    # fragment so a page polling both never holds
+                    # duplicate IDs (ADVICE r3)
                     frag = (
-                        "<div id=\"metrics\">"
+                        "<div id=\"live-status\">"
                         f"state {p.get('state', '?')} · frames "
                         f"{p.get('frames', 0)} · fps {p.get('fps', 0)}"
                         "</div>"

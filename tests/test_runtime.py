@@ -413,13 +413,23 @@ def test_pipeline_host_colorize_publishes_lut_rgb(rng):
     finally:
         pipe.close()
         mgr.close_all()
-    # the published preview is the LUT colorization of SOME published
-    # depth (the newest at publish time); verify exact correspondence by
-    # recolorizing the out frame seen in the same batch window
     assert depth.data.dtype == np.uint8
-    # LUT path == polynomial path on arbitrary depth
+    # Exact depth/RGB correspondence (ADVICE r3): a synchronized pair via
+    # step() on a fresh, non-started pipeline — the published preview
+    # must be BIT-IDENTICAL to colorizing the depth published in the
+    # same step, and LUT == polynomial path.
+    from steroscopic_hardware_tpu.ops.colorize import colorize_disparity_lut
+
+    pipe2 = DepthPipeline(mgr.bus, matcher, host_colorize=True)
+    newest = pipe2.step()
+    assert newest is not None
+    depth_frame = mgr.bus.latest("out").data
+    rgb_frame = mgr.bus.latest("depth").data
+    np.testing.assert_array_equal(newest, depth_frame)
     np.testing.assert_array_equal(
-        colorize_disparity(out.data).shape, depth.data.shape)
+        colorize_disparity_lut(depth_frame), rgb_frame)
+    np.testing.assert_array_equal(
+        colorize_disparity(depth_frame), rgb_frame)
 
 
 def test_pipeline_sgm_engine_host_colorize(rng):
