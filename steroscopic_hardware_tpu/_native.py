@@ -12,28 +12,67 @@ import os
 import subprocess
 import threading
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libshtpu_native.so")
+# source/library search order: the development tree's top-level native/
+# first, then the copy shipped INSIDE an installed wheel (pyproject maps
+# package steroscopic_hardware_tpu.native onto native/)
+_NATIVE_DIRS = [
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "native"),
+    os.path.join(os.path.dirname(__file__), "native"),
+]
+_LIB_NAME = "libshtpu_native.so"
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
-    src = os.path.join(_NATIVE_DIR, "shtpu_native.cpp")
+def _build(native_dir: str) -> str | None:
+    """Build the shared library from ``native_dir``'s source; returns the
+    built path. Read-only installs (site-packages owned by root, zipped
+    wheels unpacked read-only) build into ``~/.cache`` instead."""
+    src = os.path.join(native_dir, "shtpu_native.cpp")
     if not os.path.exists(src):
-        return False
+        return None
+    out = os.path.join(native_dir, _LIB_NAME)
     try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR],
-            check=True,
-            capture_output=True,
-            timeout=120,
+        if os.access(native_dir, os.W_OK):
+            subprocess.run(
+                ["make", "-C", native_dir], check=True,
+                capture_output=True, timeout=120,
+            )
+            return out if os.path.exists(out) else None
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "steroscopic_hardware_tpu"
         )
-        return os.path.exists(_LIB_PATH)
+        os.makedirs(cache, exist_ok=True)
+        out = os.path.join(cache, _LIB_NAME)
+        if not os.path.exists(out):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
+                 "-shared", "-o", out, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        return out if os.path.exists(out) else None
     except Exception:
-        return False
+        return None
+
+
+def _locate() -> str | None:
+    for d in _NATIVE_DIRS:
+        lib = os.path.join(d, _LIB_NAME)
+        if os.path.exists(lib):
+            return lib
+    cached = os.path.join(
+        os.path.expanduser("~"), ".cache", "steroscopic_hardware_tpu",
+        _LIB_NAME,
+    )
+    if os.path.exists(cached):
+        return cached
+    for d in _NATIVE_DIRS:
+        built = _build(d)
+        if built is not None:
+            return built
+    return None
 
 
 def get_lib():
@@ -43,10 +82,11 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        path = _locate()
+        if path is None:
             return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(path)
         except OSError:
             return None
 

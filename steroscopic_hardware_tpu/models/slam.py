@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import queue
+import threading
 import time
 
 import jax
@@ -146,6 +148,12 @@ class StereoVO:
         # frame teleports the trajectory (measured 3 m jumps on the loop
         # sequence) and no backend can recover the chain
         self.min_pnp_inliers = min_pnp_inliers
+        # guards pose state shared with an asynchronous SLAM backend
+        # (trajectory entries, prev.xi_world); StereoSLAM(async_backend=
+        # True) replaces it with its own RLock so the frame thread's
+        # pose accumulation and the backend's correction application are
+        # mutually exclusive
+        self.pose_lock: threading.Lock = threading.Lock()
         self.prev: FrameState | None = None
         self.trajectory: list[np.ndarray] = []  # world->camera twists
         self.n_inliers: list[int] = []
@@ -180,8 +188,9 @@ class StereoVO:
         if self.prev is None:
             state = self._frame_state(left, right,
                                       np.zeros(6, np.float32))
-            self.prev = state
-            self.trajectory.append(state.xi_world)
+            with self.pose_lock:
+                self.prev = state
+                self.trajectory.append(state.xi_world)
             self.n_inliers.append(0)
             return state.xi_world
 
@@ -211,20 +220,25 @@ class StereoVO:
         else:
             self._last_xi_rel = xi_rel
 
-        # accumulate: T_cur_world = T_cur_prev * T_prev_world
-        Rr, tr = se3.se3_exp(jnp.asarray(xi_rel))
-        Rp, tp = se3.se3_exp(jnp.asarray(self.prev.xi_world))
-        xi_world = np.asarray(se3.se3_log(*se3.compose(Rr, tr, Rp, tp)))
-
-        cur.xi_world = xi_world
-        self.prev = cur
-        self.trajectory.append(xi_world)
+        # accumulate: T_cur_world = T_cur_prev * T_prev_world — atomic
+        # with the trajectory append so an async backend never rewrites
+        # prev.xi_world between the read and the append
+        with self.pose_lock:
+            Rr, tr = se3.se3_exp(jnp.asarray(xi_rel))
+            Rp, tp = se3.se3_exp(jnp.asarray(self.prev.xi_world))
+            xi_world = np.asarray(
+                se3.se3_log(*se3.compose(Rr, tr, Rp, tp))
+            )
+            cur.xi_world = xi_world
+            self.prev = cur
+            self.trajectory.append(xi_world)
         return xi_world
 
     def positions(self) -> np.ndarray:
         """Camera centers in world coordinates (T^-1 translation), computed
         for the whole trajectory in one batched dispatch."""
-        xis = jnp.asarray(np.stack(self.trajectory))
+        with self.pose_lock:
+            xis = jnp.asarray(np.stack(self.trajectory))
         R, t = se3.se3_exp(xis)
         _, ti = se3.inverse(R, t)
         return np.asarray(ti)
@@ -274,7 +288,8 @@ class StereoSLAM:
                  loop_closure: bool = False, loop_min_matches: int = 30,
                  loop_gap: int = 4, loop_index: str = "bow",
                  loop_top_k: int = 3, loop_min_score: float = 0.05,
-                 pg_mesh=None, **vo_kwargs):
+                 pg_mesh=None, async_backend: bool = False,
+                 **vo_kwargs):
         self.vo = StereoVO(camera, **vo_kwargs)
         self.cam = camera
         self.window = window
@@ -330,23 +345,89 @@ class StereoSLAM:
                     "pg_mesh must have a single axis (or one named "
                     f"'rows'); got axes {pg_mesh.axis_names}"
                 )
+        # -- asynchronous backend (tracking/mapping split) ---------------
+        # With async_backend=True the frame thread runs ONLY the VO
+        # front-end + keyframe bookkeeping; windowed BA, loop retrieval/
+        # verification and pose-graph optimization run in a backend
+        # worker consuming a keyframe queue, and corrections land through
+        # the same right-factor propagation whenever they finish — the
+        # tracking/mapping split every real-time SLAM system uses (and
+        # the reference's free-running compute loop analog,
+        # pkg/camera/output.go:44-125: the frame path never stalls).
+        # Synchronous mode (default) is bit-identical to round 3.
+        self.async_backend = bool(async_backend)
+        self._lock = threading.RLock()
+        self.vo.pose_lock = self._lock
+        self._backend_queue: queue.Queue[int] = queue.Queue()
+        self._backend_stop = threading.Event()
+        self._backend_thread: threading.Thread | None = None
+        self.backend_coalesced = 0   # BA windows skipped by coalescing
+        self.backend_errors = 0
+        self._loop_key = jax.random.PRNGKey(
+            int(vo_kwargs.get("seed", 0)) + 0x5EED
+        )
+        if self.async_backend:
+            self._backend_thread = threading.Thread(
+                target=self._backend_run, daemon=True,
+                name="slam-backend",
+            )
+            self._backend_thread.start()
 
     def process(self, left, right) -> np.ndarray:
         t0 = time.perf_counter()
         xi = self.vo.process(left, right)
         self.stage_s["vo"] += time.perf_counter() - t0
         if self.frame_idx % self.kf_every == 0:
-            kf = self.vo.prev
+            if self.async_backend:
+                self._ingest_keyframe_async()
+            else:
+                self._ingest_keyframe_sync()
+        self.frame_idx += 1
+        with self._lock:
+            return self.vo.trajectory[-1]
+
+    def _ingest_keyframe_sync(self):
+        """Round-3 synchronous keyframe path, order-preserved: BA before
+        the sequential edge (the edge measures the REFINED relative
+        motion), loop closure inline."""
+        kf = self.vo.prev
+        self.keyframes.append(kf)
+        self.kf_traj_idx.append(len(self.vo.trajectory) - 1)
+        if len(self.keyframes) > self.window:
+            self.keyframes.pop(0)
+            self.kf_traj_idx.pop(0)
+        if len(self.keyframes) >= 2:
+            t0 = time.perf_counter()
+            self._refine_window()
+            self.stage_s["ba"] += time.perf_counter() - t0
+        # sequential pose-graph edge between consecutive keyframes
+        if self.kf_history:
+            prev_kf, _ = self.kf_history[-1]
+            rel = _relative_twist(prev_kf.xi_world, kf.xi_world)
+            self.graph_edges.append(
+                (len(self.kf_history) - 1, len(self.kf_history), rel)
+            )
+        self.kf_history.append((kf, len(self.vo.trajectory) - 1))
+        if self._bow is not None:
+            self._bow.add(kf.desc, kf.valid)
+        if self.loop_closure:
+            t0 = time.perf_counter()
+            self._try_loop_closure()
+            self.stage_s["loop"] += time.perf_counter() - t0
+
+    def _ingest_keyframe_async(self):
+        """Async keyframe path: bookkeeping only (one lock-held block so
+        a backend snapshot never sees an edge whose endpoint node isn't
+        in kf_history yet), then hand the heavy work to the backend.
+        The sequential edge uses the pre-BA VO poses; the backend's BA
+        and graph corrections land later via right-factor propagation."""
+        kf = self.vo.prev
+        with self._lock:
             self.keyframes.append(kf)
             self.kf_traj_idx.append(len(self.vo.trajectory) - 1)
             if len(self.keyframes) > self.window:
                 self.keyframes.pop(0)
                 self.kf_traj_idx.pop(0)
-            if len(self.keyframes) >= 2:
-                t0 = time.perf_counter()
-                self._refine_window()
-                self.stage_s["ba"] += time.perf_counter() - t0
-            # sequential pose-graph edge between consecutive keyframes
             if self.kf_history:
                 prev_kf, _ = self.kf_history[-1]
                 rel = _relative_twist(prev_kf.xi_world, kf.xi_world)
@@ -356,35 +437,93 @@ class StereoSLAM:
             self.kf_history.append((kf, len(self.vo.trajectory) - 1))
             if self._bow is not None:
                 self._bow.add(kf.desc, kf.valid)
-            if self.loop_closure:
-                t0 = time.perf_counter()
-                self._try_loop_closure()
-                self.stage_s["loop"] += time.perf_counter() - t0
-        self.frame_idx += 1
-        return self.vo.trajectory[-1]
+            hist_idx = len(self.kf_history) - 1
+        self._backend_queue.put(hist_idx)
 
-    def _try_loop_closure(self):
+    # -- backend worker -----------------------------------------------------
+    def _backend_run(self):
+        while not self._backend_stop.is_set():
+            try:
+                job = self._backend_queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            # coalesce the BA backlog: one window refinement over the
+            # CURRENT window subsumes the stale ones; loop-closure
+            # detection still runs once per queued keyframe
+            jobs = [job]
+            while True:
+                try:
+                    jobs.append(self._backend_queue.get_nowait())
+                except queue.Empty:
+                    break
+            self.backend_coalesced += len(jobs) - 1
+            try:
+                if len(self.keyframes) >= 2:
+                    t0 = time.perf_counter()
+                    self._refine_window()
+                    self.stage_s["ba"] += time.perf_counter() - t0
+                if self.loop_closure:
+                    t0 = time.perf_counter()
+                    for j in jobs:
+                        self._try_loop_closure(hist_idx=j)
+                    self.stage_s["loop"] += time.perf_counter() - t0
+            except Exception:  # keep the backend alive; count and move on
+                self.backend_errors += 1
+                import traceback
+                traceback.print_exc()
+            finally:
+                for _ in jobs:
+                    self._backend_queue.task_done()
+
+    @property
+    def backend_pending(self) -> int:
+        return self._backend_queue.qsize()
+
+    def finish(self):
+        """Block until the backend has drained every queued keyframe
+        (no-op in synchronous mode). Call before reading final metrics."""
+        if self._backend_thread is not None:
+            self._backend_queue.join()
+
+    def close(self):
+        """Stop the backend worker (async mode)."""
+        if self._backend_thread is not None:
+            self._backend_stop.set()
+            self._backend_thread.join(timeout=30)
+            self._backend_thread = None
+
+    def _try_loop_closure(self, hist_idx: int | None = None):
         """Find a revisited place among old (out-of-window) keyframes —
         BoW-retrieved top-k by default, exhaustive otherwise; on a strong
         descriptor match, estimate the relative pose by PnP, add a
-        pose-graph edge, and re-optimize all keyframe poses."""
-        cur, _ = self.kf_history[-1]
-        cur_idx = len(self.kf_history) - 1
+        pose-graph edge, and re-optimize all keyframe poses.
+
+        ``hist_idx``: which keyframe to close against (default: newest) —
+        the async backend passes the queued keyframe's index so a backlog
+        still checks every keyframe. Matching/PnP read only immutable
+        FrameState fields, so no lock is held through the heavy part."""
+        with self._lock:
+            hist = list(self.kf_history)
+        if hist_idx is None:
+            hist_idx = len(hist) - 1
+        cur, _ = hist[hist_idx]
+        cur_idx = hist_idx
         if self._bow is not None:
             # retrieval: one matvec over the whole history, then full
             # verification on the top-k candidates only
-            candidates = [
-                j for j, _score in self._bow.query(
-                    cur.desc, cur.valid, top_k=self.loop_top_k,
-                    min_score=self.loop_min_score,
-                    before=cur_idx - self.loop_gap,
-                )
-            ]
+            with self._lock:
+                candidates = [
+                    j for j, _score in self._bow.query(
+                        cur.desc, cur.valid, top_k=self.loop_top_k,
+                        min_score=self.loop_min_score,
+                        before=cur_idx - self.loop_gap,
+                    )
+                ]
         else:
             candidates = range(0, cur_idx - self.loop_gap)
         best = None
         for j in candidates:
-            old, _ = self.kf_history[j]
+            old, _ = hist[j]
             idx, good = match(
                 jnp.asarray(old.desc), jnp.asarray(cur.desc),
                 jnp.asarray(old.valid), jnp.asarray(cur.valid),
@@ -397,9 +536,14 @@ class StereoSLAM:
         if best is None:
             return
         n, j, idx, good = best
-        old, _ = self.kf_history[j]
+        old, _ = hist[j]
         uv = cur.xy_sub[idx].astype(np.float32)
-        self.vo._key, sub = jax.random.split(self.vo._key)
+        if self.async_backend:
+            # the frame thread owns vo._key; the backend draws from its
+            # own stream so RANSAC never races the VO front-end
+            self._loop_key, sub = jax.random.split(self._loop_key)
+        else:
+            self.vo._key, sub = jax.random.split(self.vo._key)
         xi_rel, inliers, n_inl = pnp_ransac(
             jnp.asarray(old.pts_cam), jnp.asarray(uv), jnp.asarray(good),
             self.cam.intr, sub, n_hypotheses=32,
@@ -407,8 +551,9 @@ class StereoSLAM:
         if int(n_inl) < self.loop_min_matches:
             return
         # measured T_cur_old from PnP of old's 3D points in cur's image
-        self.graph_edges.append((j, cur_idx, np.asarray(xi_rel)))
-        self.loops_closed += 1
+        with self._lock:
+            self.graph_edges.append((j, cur_idx, np.asarray(xi_rel)))
+            self.loops_closed += 1
         t0 = time.perf_counter()
         self._optimize_pose_graph()
         self.stage_s["graph"] += time.perf_counter() - t0
@@ -463,15 +608,33 @@ class StereoSLAM:
         for t, x in zip(frame_idx, out):
             traj[t] = x
 
+    def _apply_pose_result(self, kfs, traj_idx, old_xis, new_xis):
+        """Land a batch of refined keyframe poses (BA window or full pose
+        graph) on the live state: write the FrameStates, right-factor
+        propagate through the trajectory, then re-sync every keyframe and
+        the VO anchor CREATED AFTER the optimization snapshot (async mode
+        — those frames chained off stale poses, and the propagation just
+        corrected their trajectory entries). Caller must hold _lock."""
+        for kf, xi in zip(kfs, new_xis):
+            kf.xi_world = np.asarray(xi)
+        self._propagate_pose_updates(traj_idx, old_xis, list(new_xis))
+        traj = self.vo.trajectory
+        last_ti = traj_idx[-1]
+        for kf2, ti2 in self.kf_history:
+            if ti2 > last_ti:
+                kf2.xi_world = np.asarray(traj[ti2])
+        self.vo.prev.xi_world = np.asarray(traj[-1])
+
     def _optimize_pose_graph(self):
-        nodes = np.stack(
-            [kf.xi_world for kf, _ in self.kf_history]
-        ).astype(np.float32)
-        edges = np.array([(i, j) for i, j, _ in self.graph_edges],
-                         np.int32)
-        meas = np.stack([m for _, _, m in self.graph_edges]).astype(
-            np.float32
-        )
+        with self._lock:
+            hist = list(self.kf_history)
+            g_edges = list(self.graph_edges)
+            nodes = np.stack(
+                [kf.xi_world for kf, _ in hist]
+            ).astype(np.float32)
+        old = list(nodes)
+        edges = np.array([(i, j) for i, j, _ in g_edges], np.int32)
+        meas = np.stack([m for _, _, m in g_edges]).astype(np.float32)
         M, E = len(nodes), len(edges)
         # Bucket to powers of two so keyframe additions and loop closures
         # stop recompiling the solver: padded edges carry weight 0 (inert
@@ -505,23 +668,28 @@ class StereoSLAM:
                 jnp.asarray(w), iters=10,
             )
         xi_opt = np.asarray(xi_opt)[:M]
-        old = [kf.xi_world for kf, _ in self.kf_history]
-        for (kf, _), xi in zip(self.kf_history, xi_opt):
-            kf.xi_world = xi
-        self._propagate_pose_updates(
-            [ti for _, ti in self.kf_history], old, list(xi_opt)
-        )
-        self.vo.prev.xi_world = xi_opt[-1]
-        self.vo.trajectory[-1] = xi_opt[-1]
+        with self._lock:
+            self._apply_pose_result(
+                [kf for kf, _ in hist], [ti for _, ti in hist],
+                old, list(xi_opt),
+            )
 
     def _refine_window(self):
-        kfs = self.keyframes
+        # snapshot the sliding window (the frame thread pops/appends it
+        # concurrently in async mode); FrameState feature fields are
+        # immutable, poses are captured in xi0
+        with self._lock:
+            kfs = list(self.keyframes)
+            traj_idx = list(self.kf_traj_idx)
+            xi0 = np.stack(
+                [kf.xi_world for kf in kfs]
+            ).astype(np.float32)
         M = len(kfs)
         anchor = kfs[0]
         N = anchor.xy.shape[0]
 
         # landmarks: anchor keypoints triangulated, moved to world frame
-        Ra, ta = se3.se3_exp(jnp.asarray(anchor.xi_world))
+        Ra, ta = se3.se3_exp(jnp.asarray(xi0[0]))
         Rai, tai = se3.inverse(Ra, ta)
         pts_w = np.asarray(
             anchor.pts_cam @ np.asarray(Rai).T + np.asarray(tai)
@@ -558,8 +726,6 @@ class StereoSLAM:
             )
             mask_r[i] = mask[i] * kf.pts_ok[idx].astype(np.float32)
 
-        xi0 = np.stack([kf.xi_world for kf in kfs]).astype(np.float32)
-
         # Outlier gating: the VO poses are already decent, so observations
         # whose initial reprojection error exceeds the gate are mismatches
         # (the window solver has no RANSAC of its own).
@@ -584,21 +750,22 @@ class StereoSLAM:
         self.last_ba_errs = np.asarray(errs)
 
         xi_new = np.asarray(solved.xi)
-        old = [kf.xi_world for kf in kfs]
-        for kf, xi in zip(kfs, xi_new):
-            kf.xi_world = xi
         # write EVERY refined window pose back into the trajectory (round
-        # 1 updated only the newest entry) and carry each keyframe's
-        # correction to the in-between frames
-        self._propagate_pose_updates(self.kf_traj_idx, old, list(xi_new))
-        # re-anchor the live trajectory tail on the refined latest keyframe
-        self.vo.prev.xi_world = xi_new[-1]
-        self.vo.trajectory[-1] = xi_new[-1]
+        # 1 updated only the newest entry), carry each keyframe's
+        # correction to the in-between frames, and re-sync anything
+        # created after the snapshot (async)
+        with self._lock:
+            self._apply_pose_result(kfs, traj_idx, list(xi0),
+                                    list(xi_new))
 
     # -- persistence --------------------------------------------------------
     def save_checkpoint(self, path: str):
         from steroscopic_hardware_tpu.utils import checkpoint as ckpt
 
+        with self._lock:
+            return self._save_checkpoint_locked(path, ckpt)
+
+    def _save_checkpoint_locked(self, path, ckpt):
         arrays = {
             "trajectory": np.stack(self.vo.trajectory),
             "n_inliers": np.asarray(self.vo.n_inliers, np.int32),

@@ -33,6 +33,21 @@ print("ok:", d["value"], d["unit"], "on", d["detail"]["platform"])
 ' "$BENCH_OUT"
 rm -f "$BENCH_OUT"
 
+echo "== wheel build + install smoke (pyproject) =="
+rm -rf build dist ./*.egg-info
+python -m pip wheel . -w dist --no-build-isolation --no-deps -q
+VENVROOT=$(mktemp -d)
+python -m venv "$VENVROOT/venv"
+# the dev environment is itself a venv, so --system-site-packages can't
+# see jax/numpy; expose the parent site-packages via a .pth instead
+PYVER=$(python -c "import sys; print(f'python{sys.version_info.major}.{sys.version_info.minor}')")
+python -c "import numpy, os; print(os.path.dirname(os.path.dirname(numpy.__file__)))" \
+    > "$VENVROOT/venv/lib/$PYVER/site-packages/_parent_site.pth"
+"$VENVROOT/venv/bin/pip" install -q --no-deps --no-index dist/*.whl
+JAX_PLATFORMS=cpu "$VENVROOT/venv/bin/steroscopic-hardware-tpu" --help > /dev/null
+rm -rf "$VENVROOT"
+echo "ok"
+
 echo "== pytest =="
 if [[ $FAST == 1 ]]; then
     # the contract core: bit-exactness ladder, SGM, sharding, LZMA
