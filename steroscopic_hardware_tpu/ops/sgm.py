@@ -238,6 +238,20 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     TS = 1
     while TS < 32 and Sp % (TS * 2) == 0:
         TS *= 2
+    # d256 envelope guard: at Dp ~ 272 the double-buffered
+    # (2, 2, TS, Dp, 128) in+out working set overflows the 16 MB scoped
+    # VMEM limit even at the minimum lane tile (measured: 17.27 M
+    # requested at bf16 TS=32 — hardware compile error, not a warning),
+    # so halve the chunk rows until the TK=128 floor fits the same
+    # budget _pick_col_tile enforces. Envelope-edge cousin of the SAD
+    # d>=256 row-tile fix (ops/sad_pallas.py _pick_row_tile).
+    itm = vol.dtype.itemsize + jnp.dtype(out_dtype).itemsize
+
+    def _ws_min(ts):
+        return (4 * ts * Dp * itm + 8 * Dp) * 128
+
+    while TS > 1 and _ws_min(TS) > (12 << 20):
+        TS //= 2
     n_s = Sp // TS
     TK = _pick_col_tile(Dp, Kp, TS, vol.dtype.itemsize,
                         jnp.dtype(out_dtype).itemsize)

@@ -251,6 +251,44 @@ def main():
         return n == 0, f"d128: {n} mismatched pixels"
     run("sgm Pallas(tpu) == XLA(cpu), d128", sgm_d128)
 
+    # d256: the top of the utils/params.py envelope — the SAD path
+    # needed a row-tile fix at exactly this edge, so the quality engine
+    # gets the same hardware checks (VERDICT r3 directive #3): u8 and
+    # bf16 tiers, raw + subpixel (covers both epilogues' arithmetic)
+    def sgm_d256_u8():
+        want = cpu_sgm(max_disparity=256, subpixel=False)
+        got = np.asarray(sgm_disparity(L, R, max_disparity=256,
+                                       subpixel=False, backend="pallas"))
+        n = int((want != got).sum())
+        return n == 0, f"d256 u8-tier raw: {n} mismatched pixels"
+    run("sgm Pallas(tpu) == XLA(cpu), d256 u8 tier", sgm_d256_u8)
+
+    def sgm_d256_sub():
+        want = cpu_sgm(max_disparity=256, subpixel=True)
+        got = np.asarray(sgm_disparity(L, R, max_disparity=256,
+                                       subpixel=True, backend="pallas"))
+        d = max_abs_diff(want, got)
+        return d <= 5e-3, f"d256 subpixel: max|diff|={d:.2e}"
+    run("sgm Pallas(tpu) subpixel ~= XLA(cpu), d256", sgm_d256_sub)
+
+    def sgm_d256_bf16():
+        kw = dict(max_disparity=256, P1=2.0, P2=104.0, subpixel=False)
+        want = cpu_sgm(**kw)
+        got = np.asarray(sgm_disparity(L, R, backend="pallas", **kw))
+        n = int((want != got).sum())
+        return n == 0, f"d256 bf16-tier raw: {n} mismatched pixels"
+    run("sgm Pallas(tpu) == XLA(cpu), d256 bf16 tier", sgm_d256_bf16)
+
+    def sgm_d256_fused_epi():
+        want = cpu_sgm(max_disparity=256, subpixel=False)
+        got = np.asarray(sgm_disparity(
+            L, R, max_disparity=256, subpixel=False,
+            backend="pallas", epilogue="fused"))
+        n = int((want != got).sum())
+        return n == 0, f"d256 fused epilogue: {n} mismatched pixels"
+    run("sgm Pallas(tpu) fused epilogue == XLA(cpu), d256",
+        sgm_d256_fused_epi)
+
     def sgm_lr_check():
         with jax.default_device(jax.devices("cpu")[0]):
             wdl, wdr = sgm_disparity_lr(Lc, Rc, max_disparity=64,
