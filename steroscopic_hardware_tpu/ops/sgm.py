@@ -154,7 +154,8 @@ def _vload(x):
 
 
 def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
-                           out_dtype=jnp.float32, s_major: bool = False):
+                           out_dtype=jnp.float32, s_major: bool = False,
+                           return_s_major: bool = False):
     """Pallas-TPU counterpart of :func:`_aggregate_axis`: the same
     direction-batched recursion, but run as ONE grid step per lane tile
     with the scan over S living in-kernel — a ``fori_loop`` that manually
@@ -383,17 +384,30 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
                 + bwd.astype(jnp.int32)).astype(jnp.uint8)[:S, :D, :K]
     else:
         both = (fwd + bwd)[:S, :D, :K]          # (S, D, K)
+    if return_s_major:
+        # scan-major consumer (the s-major unfused chain): hand back
+        # (S, D, K) exactly as the kernel wrote it — no relayout
+        return both
     if axis == 1:
         return jnp.transpose(both, (1, 0, 2))
     return jnp.transpose(both, (1, 2, 0))
 
 
 def _transpose_add_pallas(aT, b=None, interpret: bool = False,
-                          out_dtype=None):
+                          out_dtype=None, s_major: bool = False):
     """``transpose(aT, (0, 2, 1)) [+ b]`` as a Pallas TPU kernel.
 
     aT: (D, B, A), b: (D, A, B) or None -> (D, A, B) in ``out_dtype``
     (default: aT's dtype; uint8 input requires an explicit float out).
+
+    ``s_major=True`` runs the SAME frame-transpose in the scan-major
+    layout family: aT (B, D, A), b (A, D, B) -> (A, D, B) with
+    out[a, d, b] = aT[b, d, a] + b[a, d, b]. This is the layout the
+    aggregation kernel reads and writes natively, so the whole unfused
+    SGM chain (cost build -> both aggregations -> summed volume ->
+    epilogue) can flow scan-major with ZERO XLA volume relayouts
+    (VERDICT r3 directive #5); the per-d MXU transpose trick is
+    unchanged, only the block index maps and the in-block d slot move.
 
     The lane-moving transpose is the one operation XLA handles
     pathologically on v5e (a standalone (D, H, W)->(D, W, H) relayout of a
@@ -408,9 +422,14 @@ def _transpose_add_pallas(aT, b=None, interpret: bool = False,
     extra HBM pass. uint8 input (the raw census cost volume) is widened
     to f32 in VMEM via int32 (Mosaic has no direct u8->f32 cast).
     """
-    D, B, A = aT.shape
-    if b is not None:
-        assert b.shape == (D, A, B), (aT.shape, b.shape)
+    if s_major:
+        B, D, A = aT.shape
+        if b is not None:
+            assert b.shape == (A, D, B), (aT.shape, b.shape)
+    else:
+        D, B, A = aT.shape
+        if b is not None:
+            assert b.shape == (D, A, B), (aT.shape, b.shape)
     if out_dtype is None:
         out_dtype = aT.dtype
     is_u8 = aT.dtype == jnp.uint8
@@ -423,11 +442,18 @@ def _transpose_add_pallas(aT, b=None, interpret: bool = False,
     Dp = _round_up(D, max(TD, 32 if is_u8 else TD))
     Ap = _round_up(A, TA)
     Bp = _round_up(B, TB)
-    aTp = jnp.pad(aT, ((0, Dp - D), (0, Bp - B), (0, Ap - A)))
-    operands = [aTp]
-    if b is not None:
-        operands.append(jnp.pad(b, ((0, Dp - D), (0, Ap - A),
-                                    (0, Bp - B))))
+    if s_major:
+        aTp = jnp.pad(aT, ((0, Bp - B), (0, Dp - D), (0, Ap - A)))
+        operands = [aTp]
+        if b is not None:
+            operands.append(jnp.pad(b, ((0, Ap - A), (0, Dp - D),
+                                        (0, Bp - B))))
+    else:
+        aTp = jnp.pad(aT, ((0, Dp - D), (0, Bp - B), (0, Ap - A)))
+        operands = [aTp]
+        if b is not None:
+            operands.append(jnp.pad(b, ((0, Dp - D), (0, Ap - A),
+                                        (0, Bp - B))))
 
     mm_dtype = jnp.float32 if is_u8 else aT.dtype
     # HIGHEST keeps true-f32 operands from bf16 truncation in the MXU;
@@ -446,7 +472,11 @@ def _transpose_add_pallas(aT, b=None, interpret: bool = False,
         ic = jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
         eye = (ir == ic).astype(mm_dtype)
         for t in range(TD):
-            X = aT_ref[t]                      # (TB, TA)
+            # s-major blocks carry d in the MIDDLE (sublane) slot: the
+            # per-slice select is a static sublane index, which Mosaic
+            # lowers to a strided VMEM access (no swapaxes involved —
+            # that path miscompiles on this toolchain)
+            X = aT_ref[:, t, :] if s_major else aT_ref[t]   # (TB, TA)
             if is_u8:
                 X = X.astype(jnp.int32).astype(jnp.float32)
             xt = jax.lax.dot_general(
@@ -455,24 +485,46 @@ def _transpose_add_pallas(aT, b=None, interpret: bool = False,
                 precision=prec,
             )
             if b_ref is not None:
-                xt = b_ref[t].astype(jnp.float32) + xt
-            o_ref[t] = xt.astype(out_dtype)
+                bb = b_ref[:, t, :] if s_major else b_ref[t]
+                if bb.dtype == jnp.uint8:
+                    # no direct u8->f32 cast on Mosaic; via int32
+                    bb = bb.astype(jnp.int32)
+                xt = bb.astype(jnp.float32) + xt
+            if s_major:
+                o_ref[:, t, :] = xt.astype(out_dtype)
+            else:
+                o_ref[t] = xt.astype(out_dtype)
 
-    in_specs = [pl.BlockSpec((TD, TB, TA), lambda d, i, j: (d, j, i),
-                             memory_space=pltpu.VMEM)]
-    if b is not None:
-        in_specs.append(pl.BlockSpec((TD, TA, TB),
-                                     lambda d, i, j: (d, i, j),
-                                     memory_space=pltpu.VMEM))
+    if s_major:
+        in_specs = [pl.BlockSpec((TB, TD, TA), lambda d, i, j: (j, d, i),
+                                 memory_space=pltpu.VMEM)]
+        if b is not None:
+            in_specs.append(pl.BlockSpec((TA, TD, TB),
+                                         lambda d, i, j: (i, d, j),
+                                         memory_space=pltpu.VMEM))
+        out_spec = pl.BlockSpec((TA, TD, TB), lambda d, i, j: (i, d, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Ap, Dp, Bp), out_dtype)
+    else:
+        in_specs = [pl.BlockSpec((TD, TB, TA), lambda d, i, j: (d, j, i),
+                                 memory_space=pltpu.VMEM)]
+        if b is not None:
+            in_specs.append(pl.BlockSpec((TD, TA, TB),
+                                         lambda d, i, j: (d, i, j),
+                                         memory_space=pltpu.VMEM))
+        out_spec = pl.BlockSpec((TD, TA, TB), lambda d, i, j: (d, i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Dp, Ap, Bp), out_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(Dp // TD, Ap // TA, Bp // TB),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TD, TA, TB), lambda d, i, j: (d, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Dp, Ap, Bp), out_dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(*operands)
+    if s_major:
+        return out[:A, :D, :B]
     return out[:D, :A, :B]
 
 
@@ -607,14 +659,14 @@ def _sgm_epilogue_pallas(agg_v, agg_ht, *, D: int, subpixel: bool,
     return out
 
 
-def _argmin_first(agg):
-    """First-minimum argmin over the leading (disparity) axis of a
-    (D, H, W) volume via masked reductions (gather-free, see the epilogue
-    note in ``_sgm_impl``)."""
-    D = agg.shape[0]
-    m = agg.min(axis=0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
-    return jnp.min(jnp.where(agg == m[None], iota, D), axis=0)
+def _argmin_first(agg, axis: int = 0):
+    """First-minimum argmin over the disparity axis (default leading) of
+    an aggregated volume via masked reductions (gather-free, see the
+    epilogue note in ``_sgm_impl``)."""
+    D = agg.shape[axis]
+    m = jnp.min(agg, axis=axis, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, axis)
+    return jnp.min(jnp.where(agg == m, iota, D), axis=axis)
 
 
 def _diagonal_argmin_right(agg):
@@ -789,7 +841,7 @@ def sgm_disparity(
         backend = _default_sgm_backend()
     if backend not in ("pallas", "xla"):
         raise ValueError(f"unknown backend {backend!r}")
-    if epilogue not in ("unfused", "fused"):
+    if epilogue not in ("unfused", "fused", "s_unfused"):
         raise ValueError(f"unknown epilogue {epilogue!r}")
     return _sgm_impl(
         left, right,
@@ -839,6 +891,42 @@ def _sgm_impl(
         # frame's lane-axis shifts measured ~50 ms at 1080p. The standard
         # frame comes from the MXU transpose kernel instead, as exact
         # small-integer bf16 (census costs <= 24).
+        if epilogue == "s_unfused":
+            # Fully SCAN-MAJOR unfused chain (VERDICT r3 directive #5):
+            # every volume lives in the (scan, D, lane) layout the
+            # aggregation kernel reads/writes natively — the census
+            # fusion WRITES (W, D, H) directly, the s-major MXU
+            # transpose-add produces the (H, D, W) vertical input and
+            # later folds the two aggregates, and the epilogue reduces
+            # over the middle axis. ZERO XLA volume relayouts; the
+            # aggregates ride the u8 tier when exact (the s-major
+            # transpose-add widens u8 via int32 in-kernel).
+            cost_th = census_cost_volume_T(
+                left, right, max_disparity=max_disparity, s_major=True
+            )                                             # (W, D+1, H) u8
+            cost_sv = _transpose_add_pallas(
+                cost_th, interpret=interpret,
+                out_dtype=jnp.bfloat16, s_major=True,
+            )                                             # (H, D+1, W)
+            if _u8_exact(P1, P2):
+                agg_dtype = jnp.uint8
+            elif _bf16_exact(P1, P2):
+                agg_dtype = jnp.bfloat16
+            else:
+                agg_dtype = jnp.float32
+            agg_h = _aggregate_axis_pallas(
+                cost_th, P1, P2, axis=1, interpret=interpret,
+                out_dtype=agg_dtype, s_major=True, return_s_major=True,
+            )                                             # (W, D+1, H)
+            agg_v = _aggregate_axis_pallas(
+                cost_sv, P1, P2, axis=1, interpret=interpret,
+                out_dtype=agg_dtype, s_major=True, return_s_major=True,
+            )                                             # (H, D+1, W)
+            agg = _transpose_add_pallas(
+                agg_h, agg_v, interpret=interpret,
+                out_dtype=jnp.float32, s_major=True,
+            )                                             # (H, D+1, W)
+            return _epilogue_xla(agg, subpixel, d_axis=1)
         cost_t = census_cost_volume_T(
             left, right, max_disparity=max_disparity
         )
@@ -914,27 +1002,30 @@ def _sgm_impl(
     return _epilogue_xla(agg, subpixel)
 
 
-def _epilogue_xla(agg, subpixel: bool):
+def _epilogue_xla(agg, subpixel: bool, d_axis: int = 0):
     """Argmin + (optional) subpixel parabola over the summed aggregate,
     as masked reductions over d instead of argmin + take_along_axis:
     per-pixel gathers along the major axis of (D, H, W) cost ~11 ms at
     640x480 on v5e, while min/where/sum sweeps are bandwidth-bound (~2x
     whole-SGM speedup, measured 22.9 -> 11.2 ms). Tie-breaking stays
     first-minimum, bit-exact vs the gather form. Shared by the portable
-    backend here and the sharded engine (parallel/sgm_shard.py)."""
-    D = agg.shape[0]
-    d_best = _argmin_first(agg)
+    backend here and the sharded engine (parallel/sgm_shard.py).
+
+    ``d_axis``: which axis holds disparity — 0 for the (D, H, W)
+    d-major volume, 1 for the scan-major (H, D, W) layout."""
+    D = agg.shape[d_axis]
+    d_best = _argmin_first(agg, axis=d_axis)
     if not subpixel:
         return d_best.astype(jnp.float32)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, d_axis)
     d_c = jnp.clip(d_best, 1, D - 2)
     # Upcast before the masked sum: the parabola arithmetic needs f32
     # even when agg is bf16 (c0 - 2*c1 + c2 exceeds bf16's exact-integer
     # range); the cast fuses into the reduction, nothing materializes.
     sel = lambda d: jnp.where(
-        iota == d[None], agg, 0
-    ).astype(jnp.float32).sum(0)
+        iota == jnp.expand_dims(d, d_axis), agg, 0
+    ).astype(jnp.float32).sum(d_axis)
     c0 = sel(d_c - 1)
     c1 = sel(d_c)
     c2 = sel(d_c + 1)

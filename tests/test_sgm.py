@@ -117,7 +117,7 @@ def test_sgm_pallas_aggregation_matches_xla(rng):
         assert np.array_equal(got, want), f"axis {axis} mismatch"
 
 
-@pytest.mark.parametrize("epilogue", ["unfused", "fused"])
+@pytest.mark.parametrize("epilogue", ["unfused", "fused", "s_unfused"])
 def test_sgm_pallas_backend_end_to_end(rng, epilogue):
     left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
     right = np.roll(left, -3, axis=1)
@@ -287,6 +287,52 @@ def test_transpose_add_pallas_exact(rng):
                               interpret=True)
     )
     assert np.array_equal(got, want)
+
+
+def test_transpose_add_pallas_s_major(rng):
+    """The scan-major variant: aT (B, D, A) + b (A, D, B) -> (A, D, B)
+    with out[a, d, b] = aT[b, d, a] + b[a, d, b], exact — and the u8
+    ingest paths (via-int32 widening) for both operands."""
+    from steroscopic_hardware_tpu.ops.sgm import _transpose_add_pallas
+
+    aT = rng.standard_normal((72, 11, 40)).astype(np.float32) * 100
+    b = rng.standard_normal((40, 11, 72)).astype(np.float32) * 100
+    want = aT.transpose(2, 1, 0) + b
+    got = np.asarray(
+        _transpose_add_pallas(jnp.asarray(aT), jnp.asarray(b),
+                              interpret=True, s_major=True)
+    )
+    assert np.array_equal(got, want)
+
+    # u8 operands (the s_unfused chain's aggregate tier)
+    a8 = rng.integers(0, 200, (72, 11, 40)).astype(np.uint8)
+    b8 = rng.integers(0, 55, (40, 11, 72)).astype(np.uint8)
+    want = a8.transpose(2, 1, 0).astype(np.float32) + b8
+    got = np.asarray(
+        _transpose_add_pallas(jnp.asarray(a8), jnp.asarray(b8),
+                              interpret=True, s_major=True,
+                              out_dtype=jnp.float32)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_sgm_s_unfused_all_tiers(rng):
+    """The fully scan-major unfused chain (zero XLA volume relayouts)
+    is bit-identical to the portable engine across the u8/bf16/f32
+    aggregate tiers and both epilogr modes."""
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.clip(np.roll(left, -3, axis=1).astype(int)
+                    + rng.integers(-2, 3, (40, 80)), 0, 255).astype(np.uint8)
+    for (P1, P2, sub) in [(1.0, 8.0, True), (2.0, 104.0, False),
+                          (1.5, 110.5, True)]:
+        a = np.asarray(sgm_disparity(
+            jnp.asarray(left), jnp.asarray(right), max_disparity=16,
+            P1=P1, P2=P2, subpixel=sub, backend="xla"))
+        b = np.asarray(sgm_disparity(
+            jnp.asarray(left), jnp.asarray(right), max_disparity=16,
+            P1=P1, P2=P2, subpixel=sub, backend="pallas",
+            interpret=True, epilogue="s_unfused"))
+        assert np.array_equal(a, b), (P1, P2, sub)
 
 
 def test_sgm_pallas_fractional_penalties(rng):

@@ -43,6 +43,13 @@ CONFIGS = {
     "sad-lr": (["--lr-check"], lambda B, k: H * W),
     "sgm": (["--backend", "sgm"], lambda B, k: H * W),
     "sgm-lr": (["--backend", "sgm", "--lr-check"], lambda B, k: H * W),
+    # live SLAM rows (VERDICT r3 directive #1): the SLAM pipeline runs
+    # alongside the depth pipeline (the product --slam config); the row
+    # reports BOTH the depth fps and the SLAM frame rate from /slam,
+    # plus backend queue stats proving closures never stall the loop
+    "slam": (["--slam", "--loop-closure"], lambda B, k: H * W),
+    "slam-sgm": (["--slam", "--loop-closure", "--backend", "sgm"],
+                 lambda B, k: H * W),
 }
 
 
@@ -110,28 +117,46 @@ def run_config(name, secs, warmup_s, compile_wait_s):
         if frames < 5:
             return {"config": name, "error":
                     f"no frames within {compile_wait_s}s (wedged compile?)"}
+        is_slam = "--slam" in args
         time.sleep(warmup_s)
         m0 = fetch_json("/metrics")
+        s0 = fetch_json("/slam") if is_slam else None
         t0 = time.time()
         time.sleep(secs)
         m1 = fetch_json("/metrics")
+        s1 = fetch_json("/slam") if is_slam else None
         dt = time.time() - t0
         df = m1["pipeline"]["frames"] - m0["pipeline"]["frames"]
         fps = df / dt
         up = 2 * H * W
         down = fetch_bytes(8, 2)
-        return {
+        rec = {
             "config": name,
             "fps": round(fps, 1),
             "frames": df,
             "window_s": round(dt, 1),
             "ms_p50": m1["pipeline"].get("ms_p50"),
+            "ms_p95": m1["pipeline"].get("ms_p95"),
             "dropped": m1["pipeline"].get("dropped", 0),
+            "queue_dropped": m1["pipeline"].get("queue_dropped", 0),
             "upload_kb_per_frame": round(up / 1024, 1),
             "fetch_kb_per_frame": round(down / 1024, 1),
             "wire_mb_s": round((up + down) * fps / 1e6, 2),
             "tunnel_bw_mb_s": bw,
         }
+        for part in ("queue", "serve", "host"):
+            for q in ("p50", "p95"):
+                key = f"lat_{part}_{q}"
+                if key in m1["pipeline"]:
+                    rec[key] = m1["pipeline"][key]
+        if is_slam:
+            rec["slam_fps"] = round(
+                (s1["frames"] - s0["frames"]) / dt, 2)
+            rec["slam_keyframes"] = s1.get("keyframes")
+            rec["slam_loops_closed"] = s1.get("loops_closed")
+            rec["slam_backend_pending"] = s1.get("backend_pending")
+            rec["slam_backend_coalesced"] = s1.get("backend_coalesced")
+        return rec
     finally:
         proc.terminate()
         try:

@@ -109,6 +109,12 @@ def main():
     row("sgm plain subpixel (default unfused)", e2e(True), L)
     row("sgm plain subpixel (fused epilogue)",
         e2e(True, epilogue="fused"), L)
+    # the round-4 scan-major chain: zero XLA volume relayouts + u8
+    # aggregate tier (VERDICT r3 directive #5 A/B)
+    row("sgm plain raw (s_unfused scan-major)",
+        e2e(False, epilogue="s_unfused"), L)
+    row("sgm plain subpixel (s_unfused scan-major)",
+        e2e(True, epilogue="s_unfused"), L)
 
     def lr_step(x):
         dl, dr = sgm_disparity_lr(x, R, max_disparity=D, subpixel=True,
