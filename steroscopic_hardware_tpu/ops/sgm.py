@@ -183,13 +183,16 @@ def _aggregate_axis_pallas(cost, P1, P2, axis: int, interpret: bool = False,
     (axis=1) both the (D, H, W) volume and a transposed-frame (D, W, H)
     volume, which together cover all 4 path directions.
 
-    STAGED (not in the production path): ``s_major=True`` ingests a
-    volume the producer already wrote scan-major, skipping the (1,0,2)
-    relayout here. It is correctness-verified (tests + verify_tpu) but
-    unwired, because ``_sgm_impl`` still needs the (D, W, H) layout for
-    ``_transpose_add_pallas`` — adopting s_major only moves the relayout
-    unless that kernel is restructured too (ADVICE r2). Kept as the
-    landing point for that restructure.
+    ``s_major=True`` ingests a volume the producer already wrote
+    scan-major, skipping the (1,0,2) relayout here;
+    ``return_s_major=True`` hands the (S, D, K) result back relayout-
+    free. Both are wired through the ``epilogue="s_unfused"`` chain
+    (see ``_sgm_impl``) — resolved from the r2/r3 STAGED state. The
+    chain is bit-exact but measured SLOWER end-to-end than the d-major
+    default (VGA 5.0 vs 2.36 ms, 1080p 46.1 vs 28.7 ms, 2026-08-21):
+    the s-major MXU transpose-add must address its d slot on the
+    sublane axis, which costs more than the XLA major-axis volume
+    transposes it removes. Kept as a measured variant, not the default.
     """
     if s_major:
         # input already (S, D, K) — the producer wrote scan-major directly
@@ -836,6 +839,17 @@ def sgm_disparity(
     where the W-band volumes are n-times smaller). Results are
     identical (exact small-integer sums, same first-min/parabola
     arithmetic; the equality is asserted in tests/test_sgm.py).
+
+    A third variant "s_unfused" runs the whole unfused chain scan-major
+    (zero XLA volume relayouts, u8 aggregate tier) — bit-identical, but
+    measured SLOWER end-to-end (VGA 5.0 vs 2.36 ms; 1080p 46.1 vs
+    28.7 ms; tools/sgm_bench.py sprefix bisection localizes ~2.9 ms to
+    the s-major transpose-add's sublane-axis d addressing), so the
+    d-major "unfused" stays the default. The only remaining algorithmic
+    lever on the aggregation floor — a parallel-prefix (Blelloch)
+    min-plus scan — is ruled out by measurement: one scan level at VGA
+    d64 costs 65.7 ms against the 0.4 ms sequential recursion it would
+    replace (tools/prefix_min_probe.py, chip, 2026-08-21).
     """
     if backend == "auto":
         backend = _default_sgm_backend()

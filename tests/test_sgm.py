@@ -319,7 +319,7 @@ def test_transpose_add_pallas_s_major(rng):
 def test_sgm_s_unfused_all_tiers(rng):
     """The fully scan-major unfused chain (zero XLA volume relayouts)
     is bit-identical to the portable engine across the u8/bf16/f32
-    aggregate tiers and both epilogr modes."""
+    aggregate tiers and both aggregate widths."""
     left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
     right = np.clip(np.roll(left, -3, axis=1).astype(int)
                     + rng.integers(-2, 3, (40, 80)), 0, 255).astype(np.uint8)

@@ -226,6 +226,42 @@ def main():
     for upto in ("census", "ta", "agg_v", "agg_ht", "pads", "full"):
         row(f"prefix: through {upto}", prefix(upto), L)
 
+    # ---- scan-major chain bisection (round-4 s_unfused A/B) -----------
+    def sprefix(upto):
+        def step(x):
+            cth = census_cost_volume_T(x, R, max_disparity=D,
+                                       s_major=True)          # (W, D, H)
+            if upto == "census":
+                return (x + cth[:, 0, :].T).astype(jnp.uint8)
+            csv = _transpose_add_pallas(cth, out_dtype=jnp.bfloat16,
+                                        s_major=True)         # (H, D, W)
+            if upto == "ta":
+                return (x + csv[:, 0, :].astype(jnp.uint8)).astype(
+                    jnp.uint8)
+            agg_v = _aggregate_axis_pallas(
+                csv, 1.0, 8.0, axis=1, out_dtype=jnp.uint8,
+                s_major=True, return_s_major=True)            # (H, D, W)
+            if upto == "agg_v":
+                return (x + agg_v[:, 0, :]).astype(jnp.uint8)
+            agg_h = _aggregate_axis_pallas(
+                cth, 1.0, 8.0, axis=1, out_dtype=jnp.uint8,
+                s_major=True, return_s_major=True)            # (W, D, H)
+            if upto == "agg_h":
+                return (x + agg_v[:, 0, :]
+                        + agg_h[:, 0, :].T).astype(jnp.uint8)
+            agg = _transpose_add_pallas(agg_h, agg_v,
+                                        out_dtype=jnp.float32,
+                                        s_major=True)         # (H, D, W)
+            if upto == "sum":
+                return (x + agg[:, 0, :].astype(jnp.uint8)).astype(
+                    jnp.uint8)
+            disp = _epilogue_xla(agg, True, d_axis=1)
+            return jnp.clip(disp * 4.0, 0, 255).astype(jnp.uint8)
+        return step
+
+    for upto in ("census", "ta", "agg_v", "agg_h", "sum", "full"):
+        row(f"sprefix: through {upto}", sprefix(upto), L)
+
 
 if __name__ == "__main__":
     main()
