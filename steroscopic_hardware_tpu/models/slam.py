@@ -122,13 +122,70 @@ def _frame_frontend(left, right, *, block_size, max_disparity,
     return xy, feats["xy_sub"], feats["desc"], feats["valid"], pts, ok
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "max_disparity", "fast_threshold",
+                     "max_keypoints", "intr", "baseline", "use_pallas",
+                     "frontend"),
+)
+def _track_step(left, right, prev_desc, prev_valid, prev_pts, prev_ok,
+                key, ctr, *, block_size, max_disparity, fast_threshold,
+                max_keypoints, intr, baseline, use_pallas, frontend):
+    """The COMPLETE per-frame tracking compute as one dispatch:
+    front-end (disparity + FAST/ORB + triangulation) + descriptor
+    matching against the previous frame's device-resident features +
+    RANSAC PnP. One dispatch matters on remote transports: the round-3
+    VO made ~10 serialized device round trips per frame (frontend,
+    match, PnP, key split, four se3 accumulation ops), which capped the
+    LIVE SLAM rate at <1 fps through the ~24 ms-RTT axon tunnel while
+    the chained on-chip compute measured 9 ms/frame
+    (tools/bench_table.py SLAM rows). The RANSAC key derives from a
+    host counter via fold_in so no key-split dispatch happens either."""
+    xy, xy_sub, desc, valid, pts, ok = _frame_frontend(
+        left, right, block_size=block_size, max_disparity=max_disparity,
+        fast_threshold=fast_threshold, max_keypoints=max_keypoints,
+        intr=intr, baseline=baseline, use_pallas=use_pallas,
+        frontend=frontend,
+    )
+    idx, good = match(prev_desc, desc, prev_valid, valid,
+                      ratio=0.9, max_distance=80.0)
+    good = good & prev_ok
+    uv = xy_sub[idx].astype(jnp.float32)
+    sub = jax.random.fold_in(key, ctr)
+    xi_rel, _, n_inl = pnp_ransac(prev_pts, uv, good, intr, sub,
+                                  n_hypotheses=32)
+    return xy, xy_sub, desc, valid, pts, ok, xi_rel, n_inl
+
+
+@jax.jit
+def _accum_pose(xi_rel, xi_prev):
+    """T_cur_world = T_cur_prev * T_prev_world as one composition."""
+    Rr, tr = se3.se3_exp(xi_rel)
+    Rp, tp = se3.se3_exp(xi_prev)
+    return se3.se3_log(*se3.compose(Rr, tr, Rp, tp))
+
+
+def _accum_pose_host(xi_rel, xi_prev) -> np.ndarray:
+    """Pose accumulation on the HOST CPU backend: 6-vector se3 algebra
+    is microseconds of math, so on a remote accelerator transport the
+    dispatch round trips would dominate — keep it off the wire."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(_accum_pose(
+            jax.device_put(np.asarray(xi_rel, np.float32), cpu),
+            jax.device_put(np.asarray(xi_prev, np.float32), cpu),
+        ))
+
+
 class StereoVO:
     """Frame-to-frame stereo visual odometry.
 
     Per frame: dense SAD disparity -> FAST+ORB on the left image ->
     keypoint triangulation -> descriptor matching against the previous
     frame -> RANSAC PnP of previous-frame 3D points in the current image
-    -> pose accumulation.
+    -> pose accumulation. The device computation is ONE jitted dispatch
+    (:func:`_track_step`) with the previous frame's features resident on
+    device; only the results cross back to the host.
     """
 
     def __init__(self, camera: StereoCamera, *, block_size=7,
@@ -159,21 +216,32 @@ class StereoVO:
         self.n_inliers: list[int] = []
         self.tracking_drops = 0
         self._last_xi_rel = np.zeros(6, np.float32)
-        self._key = jax.random.PRNGKey(seed)
+        self._key = jax.random.PRNGKey(seed)      # loop-closure RANSAC
+        self._base_key = jax.random.PRNGKey(seed)  # per-frame fold_in
+        self._ctr = 0
+        # device-RESIDENT previous-frame features (desc, valid, pts, ok):
+        # feeding _track_step without re-uploading ~150 KB of
+        # descriptors per frame
+        self._prev_dev = None
 
-    def _frame_state(self, left, right, xi_world) -> FrameState:
-        use_pallas = jax.devices()[0].platform == "tpu"
-        xy, xy_sub, desc, valid, pts, ok = _frame_frontend(
-            jnp.asarray(left), jnp.asarray(right),
+    def _static_kwargs(self):
+        return dict(
             block_size=self.block_size,
             max_disparity=self.max_disparity,
             fast_threshold=self.fast_threshold,
             max_keypoints=self.max_keypoints,
             intr=self.cam.intr,
             baseline=self.cam.baseline,
-            use_pallas=use_pallas,
+            use_pallas=jax.devices()[0].platform == "tpu",
             frontend=self.frontend,
         )
+
+    def _frame_state(self, left, right, xi_world) -> FrameState:
+        outs = _frame_frontend(
+            jnp.asarray(left), jnp.asarray(right), **self._static_kwargs()
+        )
+        xy, xy_sub, desc, valid, pts, ok = outs
+        self._prev_dev = (desc, valid, pts, ok)
         return FrameState(
             xy=np.asarray(xy), xy_sub=np.asarray(xy_sub),
             desc=np.asarray(desc),
@@ -194,24 +262,32 @@ class StereoVO:
             self.n_inliers.append(0)
             return state.xi_world
 
-        cur = self._frame_state(left, right, np.zeros(6, np.float32))
-        idx, good = match(
-            jnp.asarray(self.prev.desc), jnp.asarray(cur.desc),
-            jnp.asarray(self.prev.valid), jnp.asarray(cur.valid),
-            ratio=0.9, max_distance=80.0,
+        # ONE device dispatch for frontend + match + PnP, previous
+        # features already resident on device (rebuilt from the host
+        # FrameState after a checkpoint resume)
+        self._ctr += 1
+        if self._prev_dev is None:
+            self._prev_dev = (
+                jnp.asarray(self.prev.desc), jnp.asarray(self.prev.valid),
+                jnp.asarray(self.prev.pts_cam),
+                jnp.asarray(self.prev.pts_ok),
+            )
+        p_desc, p_valid, p_pts, p_ok = self._prev_dev
+        outs = _track_step(
+            jnp.asarray(left), jnp.asarray(right),
+            p_desc, p_valid, p_pts, p_ok,
+            self._base_key, jnp.int32(self._ctr),
+            **self._static_kwargs(),
         )
-        idx, good = np.asarray(idx), np.asarray(good)
-        good = good & self.prev.pts_ok
+        (xy_np, xy_sub_np, desc_np, valid_np, pts_np, ok_np,
+         xi_rel, n_inl) = jax.device_get(outs)
+        self._prev_dev = (outs[2], outs[3], outs[4], outs[5])
+        cur = FrameState(
+            xy=xy_np, xy_sub=xy_sub_np, desc=desc_np, valid=valid_np,
+            pts_cam=pts_np, pts_ok=ok_np,
+            xi_world=np.zeros(6, np.float32),
+        )
 
-        # 3D points in the previous camera frame, observed in the current
-        # image -> T_cur_prev.
-        pts3d = self.prev.pts_cam
-        uv = cur.xy_sub[idx].astype(np.float32)
-        self._key, sub = jax.random.split(self._key)
-        xi_rel, inliers, n_inl = pnp_ransac(
-            jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(good),
-            self.cam.intr, sub, n_hypotheses=32,
-        )
         xi_rel = np.asarray(xi_rel)
         self.n_inliers.append(int(n_inl))
         if int(n_inl) < self.min_pnp_inliers:
@@ -220,15 +296,13 @@ class StereoVO:
         else:
             self._last_xi_rel = xi_rel
 
-        # accumulate: T_cur_world = T_cur_prev * T_prev_world — atomic
-        # with the trajectory append so an async backend never rewrites
+        # accumulate: T_cur_world = T_cur_prev * T_prev_world on the
+        # HOST CPU backend (microseconds of 6-vector algebra; a device
+        # dispatch would cost wire round trips) — atomic with the
+        # trajectory append so an async backend never rewrites
         # prev.xi_world between the read and the append
         with self.pose_lock:
-            Rr, tr = se3.se3_exp(jnp.asarray(xi_rel))
-            Rp, tp = se3.se3_exp(jnp.asarray(self.prev.xi_world))
-            xi_world = np.asarray(
-                se3.se3_log(*se3.compose(Rr, tr, Rp, tp))
-            )
+            xi_world = _accum_pose_host(xi_rel, self.prev.xi_world)
             cur.xi_world = xi_world
             self.prev = cur
             self.trajectory.append(xi_world)

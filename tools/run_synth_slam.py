@@ -70,21 +70,28 @@ def run_engines(args, cam, frames, gt, engines=None):
 
     kwargs = dict(block_size=7, max_disparity=32, max_keypoints=128,
                   fast_threshold=15, frontend=args.frontend)
+    use_async = getattr(args, "async_backend", False)
     if engines is None:
         engines = {
             "vo": StereoVO(cam, **kwargs),
             "vo+ba": StereoSLAM(cam, window=3, kf_every=2, ba_iters=5,
-                                **kwargs),
+                                async_backend=use_async, **kwargs),
             "vo+ba+loop": StereoSLAM(cam, window=3, kf_every=2,
                                      ba_iters=5, loop_closure=True,
                                      loop_min_matches=15, loop_gap=10,
-                                     **kwargs),
+                                     async_backend=use_async, **kwargs),
         }
     out = []
     for name, eng in engines.items():
         t0 = time.time()
+        frame_ts = []
         for left, right in frames:
+            tf = time.time()
             eng.process(left, right)
+            frame_ts.append(time.time() - tf)
+        frame_dt = time.time() - t0
+        if hasattr(eng, "finish"):
+            eng.finish()
         dt = time.time() - t0
         vo = eng.vo if hasattr(eng, "vo") else eng
         ate = ate_rmse(vo.positions(), gt)
@@ -93,6 +100,10 @@ def run_engines(args, cam, frames, gt, engines=None):
             "frontend": args.frontend,
             "ate_rmse_m": round(ate, 4),
             "fps": round(len(frames) / dt, 2),
+            "frame_loop_fps": round(len(frames) / frame_dt, 2),
+            "frame_p95_ms": round(
+                1e3 * float(np.percentile(frame_ts, 95)), 1),
+            "frame_max_ms": round(1e3 * max(frame_ts), 1),
             "min_inliers": int(min(vo.n_inliers[1:])),
             "tracking_drops": vo.tracking_drops,
             "loops_closed": getattr(eng, "loops_closed", 0),
@@ -107,6 +118,8 @@ def run_engines(args, cam, frames, gt, engines=None):
                 pose_graph_optimize,
             )
             rec["graph_compiles"] = pose_graph_optimize._cache_size()
+        if hasattr(eng, "close"):
+            eng.close()
         out.append(rec)
         extra = ""
         if "stage_s" in rec:
@@ -184,6 +197,11 @@ def main():
                     dest="offset_jitter",
                     help="per-eye per-frame offset sigma (gray levels)")
     ap.add_argument("--frontend", default="sad", choices=["sad", "sgm"])
+    ap.add_argument("--async-backend", action="store_true",
+                    dest="async_backend",
+                    help="run BA/loop-closure in the backend worker "
+                         "(the live-serving mode); finish() drains it "
+                         "before ATE is computed")
     ap.add_argument("--suite", action="store_true",
                     help="run the multi-sequence stress table")
     ap.add_argument("--json", action="store_true")

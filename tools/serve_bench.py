@@ -67,13 +67,18 @@ def tunnel_bandwidth_mb_s():
     subprocess needs it next."""
     code = (
         # device-COMPUTED array: a host-side constant (jnp.ones) never
-        # crosses the wire and measures ~infinite bandwidth
+        # crosses the wire and measures ~infinite bandwidth. A FRESH
+        # result per rep: jax caches the host copy after the first
+        # np.asarray of the same buffer, so re-fetching one array
+        # measures memcpy (reported ~600 GB/s once — bogus).
         "import time,jax,jax.numpy as jnp,numpy as np\n"
         "h=np.random.default_rng(0).integers(0,256,(4<<20,),dtype=np.uint8)\n"
-        "y=jax.jit(lambda a: a ^ np.uint8(1))(jax.device_put(h))\n"
-        "y.block_until_ready()\n"
+        "f=jax.jit(lambda a,s: a ^ s)\n"
+        "hd=jax.device_put(h)\n"
+        "f(hd,np.uint8(1)).block_until_ready()\n"
         "best=0.0\n"
-        "for _ in range(3):\n"
+        "for s in (1,2,3):\n"
+        "    y=f(hd,np.uint8(s)); y.block_until_ready()\n"
         "    t0=time.perf_counter(); np.asarray(y)\n"
         "    best=max(best,(4<<20)/(time.perf_counter()-t0)/1e6)\n"
         "print(round(best,1))\n"
@@ -118,6 +123,17 @@ def run_config(name, secs, warmup_s, compile_wait_s):
             return {"config": name, "error":
                     f"no frames within {compile_wait_s}s (wedged compile?)"}
         is_slam = "--slam" in args
+        if is_slam:
+            # the SLAM pipeline compiles its own programs (frontend,
+            # matcher, PnP) after the depth pipeline is already serving;
+            # wait for its first frames too or the row measures zeros
+            while time.time() < deadline:
+                try:
+                    if fetch_json("/slam").get("frames", 0) >= 5:
+                        break
+                except Exception:
+                    pass
+                time.sleep(2.0)
         time.sleep(warmup_s)
         m0 = fetch_json("/metrics")
         s0 = fetch_json("/slam") if is_slam else None
