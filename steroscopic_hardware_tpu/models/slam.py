@@ -318,12 +318,25 @@ class StereoVO:
         return np.asarray(ti)
 
 
-def _relative_twist(xi_i: np.ndarray, xi_j: np.ndarray) -> np.ndarray:
-    """log(T_j * T_i^-1): the measured relative motion i -> j."""
-    Ri, ti = se3.se3_exp(jnp.asarray(xi_i))
-    Rj, tj = se3.se3_exp(jnp.asarray(xi_j))
+@jax.jit
+def _relative_twist_jit(xi_i, xi_j):
+    Ri, ti = se3.se3_exp(xi_i)
+    Rj, tj = se3.se3_exp(xi_j)
     Rii, tii = se3.inverse(Ri, ti)
-    return np.asarray(se3.se3_log(*se3.compose(Rj, tj, Rii, tii)))
+    return se3.se3_log(*se3.compose(Rj, tj, Rii, tii))
+
+
+def _relative_twist(xi_i: np.ndarray, xi_j: np.ndarray) -> np.ndarray:
+    """log(T_j * T_i^-1): the measured relative motion i -> j — on the
+    HOST CPU backend (6-vector algebra; it runs inside the keyframe
+    ingest lock, where a remote-device round trip would stall the frame
+    loop)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(_relative_twist_jit(
+            jax.device_put(np.asarray(xi_i, np.float32), cpu),
+            jax.device_put(np.asarray(xi_j, np.float32), cpu),
+        ))
 
 
 @jax.jit
@@ -509,9 +522,14 @@ class StereoSLAM:
                     (len(self.kf_history) - 1, len(self.kf_history), rel)
                 )
             self.kf_history.append((kf, len(self.vo.trajectory) - 1))
-            if self._bow is not None:
-                self._bow.add(kf.desc, kf.valid)
             hist_idx = len(self.kf_history) - 1
+        # BoW quantization dispatches a device matmul whose FIRST call
+        # compiles — outside the lock (BowIndex is internally
+        # thread-safe), or a wedged remote compile freezes the frame
+        # loop and the backend with it (observed live: serve_bench
+        # slam rows stuck at frames=1 for 8+ minutes)
+        if self._bow is not None:
+            self._bow.add(kf.desc, kf.valid)
         self._backend_queue.put(hist_idx)
 
     # -- backend worker -----------------------------------------------------
@@ -584,15 +602,16 @@ class StereoSLAM:
         cur_idx = hist_idx
         if self._bow is not None:
             # retrieval: one matvec over the whole history, then full
-            # verification on the top-k candidates only
-            with self._lock:
-                candidates = [
-                    j for j, _score in self._bow.query(
-                        cur.desc, cur.valid, top_k=self.loop_top_k,
-                        min_score=self.loop_min_score,
-                        before=cur_idx - self.loop_gap,
-                    )
-                ]
+            # verification on the top-k candidates only (BowIndex is
+            # internally thread-safe; no engine lock held through the
+            # device dispatch)
+            candidates = [
+                j for j, _score in self._bow.query(
+                    cur.desc, cur.valid, top_k=self.loop_top_k,
+                    min_score=self.loop_min_score,
+                    before=cur_idx - self.loop_gap,
+                )
+            ]
         else:
             candidates = range(0, cur_idx - self.loop_gap)
         best = None

@@ -25,6 +25,7 @@ retrieved candidates (see ``models/slam.py``).
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,12 @@ class BowIndex:
         self.n_words = n_words
         self._db = np.zeros((capacity, n_words), np.float32)
         self.n = 0
+        # guards only the host-side buffer append/snapshot (nanoseconds);
+        # device dispatches (quantize matmul, score matvec) happen OUTSIDE
+        # any lock — on a remote transport a first-call compile can take
+        # tens of seconds, and holding a shared lock through it froze the
+        # live SLAM frame loop (round-4 serve_bench finding)
+        self._mu = threading.Lock()
 
     def vector(self, desc, valid) -> np.ndarray:
         return np.asarray(
@@ -77,14 +84,16 @@ class BowIndex:
 
     def add(self, desc, valid) -> int:
         """Quantize and append one keyframe; returns its index."""
-        vec = self.vector(desc, valid)
-        if self.n == len(self._db):
-            grown = np.zeros((2 * len(self._db), self.n_words), np.float32)
-            grown[: self.n] = self._db
-            self._db = grown
-        self._db[self.n] = vec
-        self.n += 1
-        return self.n - 1
+        vec = self.vector(desc, valid)     # device dispatch, lock-free
+        with self._mu:
+            if self.n == len(self._db):
+                grown = np.zeros((2 * len(self._db), self.n_words),
+                                 np.float32)
+                grown[: self.n] = self._db
+                self._db = grown
+            self._db[self.n] = vec
+            self.n += 1
+            return self.n - 1
 
     def query(self, desc, valid, *, top_k: int = 3,
               min_score: float = 0.0, before: int | None = None):
@@ -93,12 +102,15 @@ class BowIndex:
         ``before`` restricts candidates to indices < before (loop-gap
         temporal exclusion). Returns a list of (index, score), best first.
         """
-        n = self.n if before is None else min(before, self.n)
+        with self._mu:
+            n = self.n if before is None else min(before, self.n)
+            db = self._db    # snapshot ref: rows are append-only and a
+            #                  growth swap replaces the buffer wholesale
         if n <= 0:
             return []
         q = _bow_vector(jnp.asarray(desc), jnp.asarray(valid), self.words)
         s = np.asarray(
-            _scores(jnp.asarray(self._db), q, n)
+            _scores(jnp.asarray(db), q, n)
         )[:n]
         order = np.argsort(-s)[:top_k]
         return [(int(i), float(s[i])) for i in order
