@@ -24,6 +24,7 @@ from steroscopic_hardware_tpu.models.vo import pnp_ransac, triangulate_stereo
 from steroscopic_hardware_tpu.ops import se3
 from steroscopic_hardware_tpu.ops.features import detect_and_describe
 from steroscopic_hardware_tpu.ops.matching import match
+from steroscopic_hardware_tpu.utils.devlock import device_lock
 
 
 @dataclasses.dataclass
@@ -237,11 +238,14 @@ class StereoVO:
         )
 
     def _frame_state(self, left, right, xi_world) -> FrameState:
-        outs = _frame_frontend(
-            jnp.asarray(left), jnp.asarray(right), **self._static_kwargs()
-        )
+        with device_lock:
+            outs = _frame_frontend(
+                jnp.asarray(left), jnp.asarray(right),
+                **self._static_kwargs()
+            )
+            outs = jax.device_get(outs)
         xy, xy_sub, desc, valid, pts, ok = outs
-        self._prev_dev = (desc, valid, pts, ok)
+        self._prev_dev = None
         return FrameState(
             xy=np.asarray(xy), xy_sub=np.asarray(xy_sub),
             desc=np.asarray(desc),
@@ -266,21 +270,23 @@ class StereoVO:
         # features already resident on device (rebuilt from the host
         # FrameState after a checkpoint resume)
         self._ctr += 1
-        if self._prev_dev is None:
-            self._prev_dev = (
-                jnp.asarray(self.prev.desc), jnp.asarray(self.prev.valid),
-                jnp.asarray(self.prev.pts_cam),
-                jnp.asarray(self.prev.pts_ok),
+        with device_lock:
+            if self._prev_dev is None:
+                self._prev_dev = (
+                    jnp.asarray(self.prev.desc),
+                    jnp.asarray(self.prev.valid),
+                    jnp.asarray(self.prev.pts_cam),
+                    jnp.asarray(self.prev.pts_ok),
+                )
+            p_desc, p_valid, p_pts, p_ok = self._prev_dev
+            outs = _track_step(
+                jnp.asarray(left), jnp.asarray(right),
+                p_desc, p_valid, p_pts, p_ok,
+                self._base_key, jnp.int32(self._ctr),
+                **self._static_kwargs(),
             )
-        p_desc, p_valid, p_pts, p_ok = self._prev_dev
-        outs = _track_step(
-            jnp.asarray(left), jnp.asarray(right),
-            p_desc, p_valid, p_pts, p_ok,
-            self._base_key, jnp.int32(self._ctr),
-            **self._static_kwargs(),
-        )
-        (xy_np, xy_sub_np, desc_np, valid_np, pts_np, ok_np,
-         xi_rel, n_inl) = jax.device_get(outs)
+            (xy_np, xy_sub_np, desc_np, valid_np, pts_np, ok_np,
+             xi_rel, n_inl) = jax.device_get(outs)
         self._prev_dev = (outs[2], outs[3], outs[4], outs[5])
         cur = FrameState(
             xy=xy_np, xy_sub=xy_sub_np, desc=desc_np, valid=valid_np,
@@ -617,12 +623,14 @@ class StereoSLAM:
         best = None
         for j in candidates:
             old, _ = hist[j]
-            idx, good = match(
-                jnp.asarray(old.desc), jnp.asarray(cur.desc),
-                jnp.asarray(old.valid), jnp.asarray(cur.valid),
-                ratio=0.85, max_distance=60.0,
-            )
-            good = np.asarray(good) & old.pts_ok
+            with device_lock:
+                idx, good = match(
+                    jnp.asarray(old.desc), jnp.asarray(cur.desc),
+                    jnp.asarray(old.valid), jnp.asarray(cur.valid),
+                    ratio=0.85, max_distance=60.0,
+                )
+                idx, good = np.asarray(idx), np.asarray(good)
+            good = good & old.pts_ok
             n = int(good.sum())
             if n >= self.loop_min_matches and (best is None or n > best[0]):
                 best = (n, j, np.asarray(idx), good)
@@ -637,11 +645,13 @@ class StereoSLAM:
             self._loop_key, sub = jax.random.split(self._loop_key)
         else:
             self.vo._key, sub = jax.random.split(self.vo._key)
-        xi_rel, inliers, n_inl = pnp_ransac(
-            jnp.asarray(old.pts_cam), jnp.asarray(uv), jnp.asarray(good),
-            self.cam.intr, sub, n_hypotheses=32,
-        )
-        if int(n_inl) < self.loop_min_matches:
+        with device_lock:
+            xi_rel, inliers, n_inl = pnp_ransac(
+                jnp.asarray(old.pts_cam), jnp.asarray(uv),
+                jnp.asarray(good), self.cam.intr, sub, n_hypotheses=32,
+            )
+            xi_rel, n_inl = np.asarray(xi_rel), int(n_inl)
+        if n_inl < self.loop_min_matches:
             return
         # measured T_cur_old from PnP of old's 3D points in cur's image
         with self._lock:
@@ -805,12 +815,13 @@ class StereoSLAM:
         )
         mask_r[0] = mask[0]
         for i, kf in enumerate(kfs[1:], start=1):
-            idx, good = match(
-                jnp.asarray(anchor.desc), jnp.asarray(kf.desc),
-                jnp.asarray(anchor.valid), jnp.asarray(kf.valid),
-                ratio=0.9, max_distance=80.0,
-            )
-            idx, good = np.asarray(idx), np.asarray(good)
+            with device_lock:
+                idx, good = match(
+                    jnp.asarray(anchor.desc), jnp.asarray(kf.desc),
+                    jnp.asarray(anchor.valid), jnp.asarray(kf.valid),
+                    ratio=0.9, max_distance=80.0,
+                )
+                idx, good = np.asarray(idx), np.asarray(good)
             good = good & anchor.pts_ok
             uv[i] = kf.xy_sub[idx].astype(np.float32)
             mask[i] = good.astype(np.float32)

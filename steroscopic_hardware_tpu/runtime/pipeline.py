@@ -20,6 +20,7 @@ import numpy as np
 from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
 from steroscopic_hardware_tpu.runtime.bus import FrameBus
 from steroscopic_hardware_tpu.runtime.logger import get_logger
+from steroscopic_hardware_tpu.utils.devlock import device_lock
 
 
 def _mean_pool2d(img: np.ndarray, k: int) -> np.ndarray:
@@ -142,16 +143,26 @@ class DepthPipeline:
         t_serve_end = None
         rgb = None
         k = self.preview_scale
+        # hold the process-wide dispatch lock through the serve
+        # execution: concurrent in-flight executions from sibling
+        # threads (live SLAM) starve each other on the remote transport
+        # (utils/devlock.py)
+        return self._step_batch_locked(pairs, t0s, t_start,
+                                       t_serve_end, rgb, k)
+
+    def _step_batch_locked(self, pairs, t0s, t_start, t_serve_end,
+                           rgb, k):
         if (self.colorize and self.host_colorize
                 and hasattr(self.matcher, "compute_serve_async")):
             # depth-only fetch + host LUT colorize; preview_scale > 1
             # additionally coalesces to the newest frame (light mode) and
             # mean-pools the preview host-side before the LUT (same
             # content as the on-device downscale path)
-            depths = np.asarray(self.matcher.compute_serve_async(
-                [p for _, p in pairs], lr=self.lr_check,
-                fetch_all=(k == 1), colorize_dev=False,
-            ))
+            with device_lock:
+                depths = np.asarray(self.matcher.compute_serve_async(
+                    [p for _, p in pairs], lr=self.lr_check,
+                    fetch_all=(k == 1), colorize_dev=False,
+                ))
             t_serve_end = time.time()
             from steroscopic_hardware_tpu.ops.colorize import (
                 colorize_disparity_lut,
@@ -162,10 +173,11 @@ class DepthPipeline:
                 and hasattr(self.matcher, "compute_serve_async")):
             # light fetch: 1D [newest depth | downscaled RGB preview]
             H, W = pairs[-1][1][0].shape
-            flat = np.asarray(self.matcher.compute_serve_async(
-                [p for _, p in pairs], lr=self.lr_check,
-                preview_scale=k, fetch_all=False,
-            ))
+            with device_lock:
+                flat = np.asarray(self.matcher.compute_serve_async(
+                    [p for _, p in pairs], lr=self.lr_check,
+                    preview_scale=k, fetch_all=False,
+                ))
             want = H * W + (H // k) * (W // k) * 3
             if flat.size != want:
                 raise ValueError(
@@ -176,9 +188,10 @@ class DepthPipeline:
             depths = flat[: H * W].reshape(1, H, W)
             rgb = flat[H * W:].reshape(H // k, W // k, 3)
         elif self.colorize and hasattr(self.matcher, "compute_serve_async"):
-            packed = np.asarray(self.matcher.compute_serve_async(
-                [p for _, p in pairs], lr=self.lr_check
-            ))
+            with device_lock:
+                packed = np.asarray(self.matcher.compute_serve_async(
+                    [p for _, p in pairs], lr=self.lr_check
+                ))
             t_serve_end = time.time()
             B = len(pairs)
             depths = packed[:B]
