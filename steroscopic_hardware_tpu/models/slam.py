@@ -21,7 +21,7 @@ import numpy as np
 
 from steroscopic_hardware_tpu.models.ba import BAProblem, ba_solve
 from steroscopic_hardware_tpu.models.vo import pnp_ransac, triangulate_stereo
-from steroscopic_hardware_tpu.ops import se3
+from steroscopic_hardware_tpu.ops import se3, se3_np
 from steroscopic_hardware_tpu.ops.features import detect_and_describe
 from steroscopic_hardware_tpu.ops.matching import match
 from steroscopic_hardware_tpu.utils.devlock import device_lock
@@ -158,24 +158,13 @@ def _track_step(left, right, prev_desc, prev_valid, prev_pts, prev_ok,
     return xy, xy_sub, desc, valid, pts, ok, xi_rel, n_inl
 
 
-@jax.jit
-def _accum_pose(xi_rel, xi_prev):
-    """T_cur_world = T_cur_prev * T_prev_world as one composition."""
-    Rr, tr = se3.se3_exp(xi_rel)
-    Rp, tp = se3.se3_exp(xi_prev)
-    return se3.se3_log(*se3.compose(Rr, tr, Rp, tp))
-
-
 def _accum_pose_host(xi_rel, xi_prev) -> np.ndarray:
-    """Pose accumulation on the HOST CPU backend: 6-vector se3 algebra
-    is microseconds of math, so on a remote accelerator transport the
-    dispatch round trips would dominate — keep it off the wire."""
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        return np.asarray(_accum_pose(
-            jax.device_put(np.asarray(xi_rel, np.float32), cpu),
-            jax.device_put(np.asarray(xi_prev, np.float32), cpu),
-        ))
+    """Pose accumulation in PURE NUMPY (ops/se3_np): 6-vector algebra is
+    microseconds of math; a device dispatch would cost wire round trips,
+    and even a host-CPU jax backend proved hazardous — its first
+    initialization can deadlock against an active accelerator stream in
+    a sibling thread (observed live, round 4)."""
+    return se3_np.accum(xi_rel, xi_prev)
 
 
 class StereoVO:
@@ -315,53 +304,33 @@ class StereoVO:
         return xi_world
 
     def positions(self) -> np.ndarray:
-        """Camera centers in world coordinates (T^-1 translation), computed
-        for the whole trajectory in one batched dispatch."""
+        """Camera centers in world coordinates (T^-1 translation), pure
+        numpy — it runs per live frame for the /slam snapshot, so it
+        must cost no device round trip and never touch the dispatch
+        stream."""
         with self.pose_lock:
-            xis = jnp.asarray(np.stack(self.trajectory))
-        R, t = se3.se3_exp(xis)
-        _, ti = se3.inverse(R, t)
-        return np.asarray(ti)
-
-
-@jax.jit
-def _relative_twist_jit(xi_i, xi_j):
-    Ri, ti = se3.se3_exp(xi_i)
-    Rj, tj = se3.se3_exp(xi_j)
-    Rii, tii = se3.inverse(Ri, ti)
-    return se3.se3_log(*se3.compose(Rj, tj, Rii, tii))
+            xis = np.stack(self.trajectory)
+        return se3_np.positions(xis)
 
 
 def _relative_twist(xi_i: np.ndarray, xi_j: np.ndarray) -> np.ndarray:
-    """log(T_j * T_i^-1): the measured relative motion i -> j — on the
-    HOST CPU backend (6-vector algebra; it runs inside the keyframe
-    ingest lock, where a remote-device round trip would stall the frame
-    loop)."""
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        return np.asarray(_relative_twist_jit(
-            jax.device_put(np.asarray(xi_i, np.float32), cpu),
-            jax.device_put(np.asarray(xi_j, np.float32), cpu),
-        ))
+    """log(T_j * T_i^-1): the measured relative motion i -> j — pure
+    numpy (runs inside the keyframe ingest lock, where any device round
+    trip would stall the frame loop)."""
+    return se3_np.relative(xi_i, xi_j)
 
 
-@jax.jit
 def _apply_pose_corrections(xis, seg, old_kf, new_kf):
-    """Batched right-factor pose correction: for frame f in segment s,
-    T_f_new = T_f_old * (T_kf_old[s]^-1 * T_kf_new[s]). One dispatch for
-    every frame touched by a BA window or loop closure."""
-    def dfactor(o, n):
-        Roi, toi = se3.inverse(*se3.se3_exp(o))
-        Rn, tn = se3.se3_exp(n)
-        return se3.compose(Roi, toi, Rn, tn)
-
-    Rd, td = jax.vmap(dfactor)(old_kf, new_kf)
-
-    def one(x, s):
-        Rf, tf = se3.se3_exp(x)
-        return se3.se3_log(*se3.compose(Rf, tf, Rd[s], td[s]))
-
-    return jax.vmap(one)(xis, seg)
+    """Batched right-factor pose correction, PURE NUMPY: for frame f in
+    segment s, T_f_new = T_f_old * (T_kf_old[s]^-1 * T_kf_new[s]). It
+    runs under the engine lock (backend correction landing), so it must
+    never wait on the device dispatch stream; the batched numpy se3
+    costs microseconds for any realistic trajectory length."""
+    Roi, toi = se3_np.inverse(*se3_np.se3_exp(old_kf))
+    Rn, tn = se3_np.se3_exp(new_kf)
+    Rd, td = se3_np.compose(Roi, toi, Rn, tn)
+    Rf, tf = se3_np.se3_exp(xis)
+    return se3_np.se3_log(*se3_np.compose(Rf, tf, Rd[seg], td[seg]))
 
 
 class StereoSLAM:
@@ -670,10 +639,10 @@ class StereoSLAM:
         Without this, BA/loop-closure corrections reached only keyframe
         entries and ATE mixed refined and stale poses.
 
-        All affected frames go through ONE vectorized jitted dispatch
-        with power-of-two shape buckets (the round-2 per-frame Python
-        loop of tiny se3 dispatches cost O(frames) launches after every
-        BA window — VERDICT r2 weak #5)."""
+        All affected frames go through ONE vectorized numpy evaluation
+        (the round-2 per-frame loop of tiny DEVICE se3 dispatches cost
+        O(frames) launches after every BA window; round 4 moved the
+        whole thing off the device — see _apply_pose_corrections)."""
         traj = self.vo.trajectory
         bounds = list(traj_indices[1:]) + [len(traj)]
         frame_idx: list[int] = []
@@ -693,23 +662,13 @@ class StereoSLAM:
                 frame_seg.append(k)
         if not frame_idx:
             return
-        N, S = len(frame_idx), len(segs_old)
-        Nb = max(8, 1 << (N - 1).bit_length())
-        Sb = max(4, 1 << (S - 1).bit_length())
-        xis = np.zeros((Nb, 6), np.float32)
-        xis[:N] = [traj[t] for t in frame_idx]
-        seg = np.zeros(Nb, np.int32)
-        seg[:N] = frame_seg
-        olds = np.zeros((Sb, 6), np.float32)
-        news = np.zeros((Sb, 6), np.float32)  # pad: identity correction
-        olds[:S] = segs_old
-        news[:S] = segs_new
-        out = np.asarray(_apply_pose_corrections(
-            jnp.asarray(xis), jnp.asarray(seg),
-            jnp.asarray(olds), jnp.asarray(news),
-        ))[:N]
+        xis = np.stack([traj[t] for t in frame_idx]).astype(np.float32)
+        out = _apply_pose_corrections(
+            xis, np.asarray(frame_seg, np.int32),
+            np.stack(segs_old), np.stack(segs_new),
+        )
         for t, x in zip(frame_idx, out):
-            traj[t] = x
+            traj[t] = np.asarray(x, np.float32)
 
     def _apply_pose_result(self, kfs, traj_idx, old_xis, new_xis):
         """Land a batch of refined keyframe poses (BA window or full pose
@@ -792,11 +751,8 @@ class StereoSLAM:
         N = anchor.xy.shape[0]
 
         # landmarks: anchor keypoints triangulated, moved to world frame
-        Ra, ta = se3.se3_exp(jnp.asarray(xi0[0]))
-        Rai, tai = se3.inverse(Ra, ta)
-        pts_w = np.asarray(
-            anchor.pts_cam @ np.asarray(Rai).T + np.asarray(tai)
-        )
+        Rai, tai = se3_np.inverse(*se3_np.se3_exp(xi0[0]))
+        pts_w = np.asarray(anchor.pts_cam @ Rai.T + tai)
 
         # Left observations + STEREO right-camera u rows: u_R = u_L - d,
         # with d = fx*b/z recovered exactly from each frame's own

@@ -301,3 +301,28 @@ def test_async_backend_never_stalls_frame_loop(rng):
     assert slam.loops_closed >= 1
     # frames after jit warmup never pay the backend's 1 s closures
     assert max(times[3:]) < 1.0, times
+
+
+def test_se3_np_matches_jax(rng):
+    """The numpy twin (ops/se3_np, host-path pose bookkeeping) must
+    match the jax se3 module to float tolerance on random twists."""
+    from steroscopic_hardware_tpu.ops import se3_np
+
+    xis = rng.normal(0, 0.7, (32, 6)).astype(np.float32)
+    Rj, tj = se3.se3_exp(jnp.asarray(xis))
+    Rn, tn = se3_np.se3_exp(xis)
+    np.testing.assert_allclose(np.asarray(Rj), Rn, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tj), tn, atol=1e-5)
+    back = se3_np.se3_log(Rn, tn)
+    np.testing.assert_allclose(back, xis, atol=1e-4)
+    # accumulation / relative round trip
+    a, b = xis[0], xis[1]
+    acc = se3_np.accum(a, b)
+    Ra, ta = se3.se3_exp(jnp.asarray(a))
+    Rb, tb = se3.se3_exp(jnp.asarray(b))
+    want = np.asarray(se3.se3_log(*se3.compose(Ra, ta, Rb, tb)))
+    np.testing.assert_allclose(acc, want, atol=1e-5)
+    rel = se3_np.relative(a, b)
+    Rai, tai = se3.inverse(Ra, ta)
+    want = np.asarray(se3.se3_log(*se3.compose(Rb, tb, Rai, tai)))
+    np.testing.assert_allclose(rel, want, atol=1e-5)
