@@ -134,6 +134,22 @@ def _u8_exact(P1: float, P2: float) -> bool:
     )
 
 
+def _bf16_sum_exact(P1: float, P2: float) -> bool:
+    """True when the 4-path SUMMED volume (vertical + horizontal
+    aggregates, each a 2-way sum <= 2*(24+P2)) holds bf16-exact
+    integers: 4*(24+P2) <= 256 <=> P2 <= 40. Lets the unfused epilogue
+    read HALF the bytes of the dominant volume (the argmin/parabola
+    masked reductions are bandwidth-bound on it); covers the default
+    P1=1/P2=8. The parabola upcasts to f32 before differencing, so
+    exactness of the stored integers is the only requirement."""
+    return (
+        float(P1).is_integer()
+        and float(P2).is_integer()
+        and 0 <= P1
+        and 0 <= P2 <= 40
+    )
+
+
 def _vstore(x, dtype):
     """Cast a float32 value for a VMEM store. Mosaic has no direct
     f32<->u8 conversion; round-trip through int32 (exact for the small
@@ -751,8 +767,11 @@ def _sgm_lr_impl(left, right, *, P1, P2, max_disparity, subpixel,
         agg_ht = _aggregate_axis_pallas(cost_t, P1, P2, axis=1,
                                         interpret=interpret,
                                         out_dtype=agg_dtype)
-        agg = _transpose_add_pallas(agg_ht, agg_v, interpret=interpret,
-                                    out_dtype=jnp.float32)
+        agg = _transpose_add_pallas(
+            agg_ht, agg_v, interpret=interpret,
+            out_dtype=(jnp.bfloat16 if _bf16_sum_exact(P1, P2)
+                       else jnp.float32),
+        )
     else:
         cost = census_cost_volume(
             left, right, max_disparity=max_disparity
@@ -968,9 +987,11 @@ def _sgm_impl(
             agg_ht = _aggregate_axis_pallas(cost_t, P1, P2, axis=1,
                                             interpret=interpret,
                                             out_dtype=agg_dtype)
-            agg = _transpose_add_pallas(agg_ht, agg_v,
-                                        interpret=interpret,
-                                        out_dtype=jnp.float32)
+            agg = _transpose_add_pallas(
+                agg_ht, agg_v, interpret=interpret,
+                out_dtype=(jnp.bfloat16 if _bf16_sum_exact(P1, P2)
+                           else jnp.float32),
+            )
             return _epilogue_xla(agg, subpixel)
         if _u8_exact(P1, P2):
             agg_dtype = jnp.uint8

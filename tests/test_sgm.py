@@ -473,3 +473,20 @@ def test_aggregate_kernel_scan_pad_bitexact(rng, out_dtype):
         cin, 1.0, 8.0, axis=1, out_dtype=dt, interpret=True))
     assert got.shape == want.shape
     assert np.array_equal(got.astype(np.float32), want)
+
+
+def test_sgm_bf16_summed_volume_boundary(rng):
+    """The bf16 summed-volume gate (4*(24+P2) <= 256, P2 <= 40): both
+    sides of the boundary must stay bit-identical to the portable
+    engine (bf16 path at P2=40, f32 path at P2=48)."""
+    left = rng.integers(0, 256, (40, 80), dtype=np.uint8)
+    right = np.clip(np.roll(left, -3, axis=1).astype(int)
+                    + rng.integers(-2, 3, (40, 80)), 0, 255).astype(np.uint8)
+    for P2 in (40.0, 48.0):
+        a = np.asarray(sgm_disparity(
+            jnp.asarray(left), jnp.asarray(right), max_disparity=16,
+            P1=2.0, P2=P2, backend="xla"))
+        b = np.asarray(sgm_disparity(
+            jnp.asarray(left), jnp.asarray(right), max_disparity=16,
+            P1=2.0, P2=P2, backend="pallas", interpret=True))
+        assert np.array_equal(a, b), P2

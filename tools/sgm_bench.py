@@ -262,6 +262,41 @@ def main():
     for upto in ("census", "ta", "agg_v", "agg_h", "sum", "full"):
         row(f"sprefix: through {upto}", sprefix(upto), L)
 
+    # ---- PRODUCTION (d-major unfused) chain bisection -----------------
+    from steroscopic_hardware_tpu.ops.sgm import _bf16_sum_exact
+
+    def uprefix(upto):
+        agg_dtype = jnp.bfloat16
+        sum_dtype = (jnp.bfloat16 if _bf16_sum_exact(1.0, 8.0)
+                     else jnp.float32)
+
+        def step(x):
+            ct = census_cost_volume_T(x, R, max_disparity=D)
+            if upto == "census":
+                return (x + ct[0].T).astype(jnp.uint8)
+            cost = _transpose_add_pallas(ct, out_dtype=jnp.bfloat16)
+            if upto == "ta":
+                return (x + cost[0].astype(jnp.uint8)).astype(jnp.uint8)
+            agg_v = _aggregate_axis_pallas(cost, 1.0, 8.0, axis=1,
+                                           out_dtype=agg_dtype)
+            if upto == "agg_v":
+                return (x + agg_v[0].astype(jnp.uint8)).astype(jnp.uint8)
+            agg_ht = _aggregate_axis_pallas(ct, 1.0, 8.0, axis=1,
+                                            out_dtype=agg_dtype)
+            if upto == "agg_ht":
+                return (x + agg_v[0].astype(jnp.uint8)
+                        + agg_ht[0].astype(jnp.uint8).T).astype(jnp.uint8)
+            agg = _transpose_add_pallas(agg_ht, agg_v,
+                                        out_dtype=sum_dtype)
+            if upto == "sum":
+                return (x + agg[0].astype(jnp.uint8)).astype(jnp.uint8)
+            disp = _epilogue_xla(agg, True)
+            return jnp.clip(disp * 4.0, 0, 255).astype(jnp.uint8)
+        return step
+
+    for upto in ("census", "ta", "agg_v", "agg_ht", "sum", "full"):
+        row(f"uprefix: through {upto}", uprefix(upto), L)
+
 
 if __name__ == "__main__":
     main()
