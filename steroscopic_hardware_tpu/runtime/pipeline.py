@@ -143,15 +143,10 @@ class DepthPipeline:
         t_serve_end = None
         rgb = None
         k = self.preview_scale
-        # hold the process-wide dispatch lock through the serve
-        # execution: concurrent in-flight executions from sibling
-        # threads (live SLAM) starve each other on the remote transport
+        # each matcher call below holds the process-wide dispatch lock:
+        # concurrent in-flight executions from sibling threads (live
+        # SLAM) starve each other on the remote transport
         # (utils/devlock.py)
-        return self._step_batch_locked(pairs, t0s, t_start,
-                                       t_serve_end, rgb, k)
-
-    def _step_batch_locked(self, pairs, t0s, t_start, t_serve_end,
-                           rgb, k):
         if (self.colorize and self.host_colorize
                 and hasattr(self.matcher, "compute_serve_async")):
             # depth-only fetch + host LUT colorize; preview_scale > 1

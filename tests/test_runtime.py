@@ -457,3 +457,39 @@ def test_pipeline_sgm_engine_host_colorize(rng):
     finally:
         pipe.close()
         mgr.close_all()
+
+
+def test_pipeline_latency_decomposition_and_queue_cap(rng):
+    """The capture->publish latency decomposition (queue/serve/host
+    p50+p95) must appear in metrics, and the capped collector inbox
+    must convert backlog to counted queue_dropped, never silent loss
+    (VERDICT r3 weak #7)."""
+    mgr = CameraManager()
+    mgr.set_source("left", SyntheticSource(
+        mgr.bus, "left", shape=(32, 64), fps=200.0, shift=0, seed=7))
+    mgr.set_source("right", SyntheticSource(
+        mgr.bus, "right", shape=(32, 64), fps=200.0, shift=4, seed=7))
+    class SlowMatcher(BlockMatcher):
+        # deterministic backlog: +80 ms/batch against 200 fps sources
+        def compute_serve_async(self, pairs, **kw):
+            time.sleep(0.08)
+            return super().compute_serve_async(pairs, **kw)
+
+    matcher = SlowMatcher(backend="xla")
+    matcher.set_params(Parameters(7, 16))
+    pipe = DepthPipeline(mgr.bus, matcher, max_batch=2,
+                         max_queue=2).start()
+    try:
+        assert _wait(lambda: pipe.frames >= 6, timeout=30.0)
+        m = pipe.metrics()
+        for part in ("queue", "serve", "host"):
+            assert f"lat_{part}_p50" in m, m
+            assert f"lat_{part}_p95" in m, m
+        assert m["lat_serve_p50"] > 0
+        # an 80 ms/frame pipeline against 200 fps sources MUST overflow
+        # the 2-deep inbox: backlog shows up as counted drops, not lag
+        assert _wait(lambda: pipe.queue_dropped > 0, timeout=10.0), (
+            pipe.metrics())
+    finally:
+        pipe.close()
+        mgr.close_all()

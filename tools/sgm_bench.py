@@ -211,7 +211,12 @@ def main():
             agg_ht = _aggregate_axis_pallas(ct, 1.0, 8.0, axis=1,
                                             out_dtype=jnp.uint8)
             if upto == "agg_ht":
-                return (x + agg_v[0] + agg_ht[0].T).astype(jnp.uint8)
+                # consume via a scalar reduction — a full-plane .T here
+                # is itself a pathological lane transpose and was
+                # measured to add ~27 ms at 1080p, polluting the row
+                return (x + agg_v[0]
+                        + (agg_ht.sum() % 7).astype(jnp.uint8)
+                        ).astype(jnp.uint8)
             Dv = agg_v.shape[0]
             Hp2, Wp2 = _round_up(H, 128), _round_up(W, 128)
             av = jnp.pad(agg_v, ((0, 0), (0, Hp2 - H), (0, Wp2 - W)))
@@ -248,7 +253,8 @@ def main():
                 s_major=True, return_s_major=True)            # (W, D, H)
             if upto == "agg_h":
                 return (x + agg_v[:, 0, :]
-                        + agg_h[:, 0, :].T).astype(jnp.uint8)
+                        + (agg_h.sum() % 7).astype(jnp.uint8)
+                        ).astype(jnp.uint8)
             agg = _transpose_add_pallas(agg_h, agg_v,
                                         out_dtype=jnp.float32,
                                         s_major=True)         # (H, D, W)
@@ -285,7 +291,8 @@ def main():
                                             out_dtype=agg_dtype)
             if upto == "agg_ht":
                 return (x + agg_v[0].astype(jnp.uint8)
-                        + agg_ht[0].astype(jnp.uint8).T).astype(jnp.uint8)
+                        + (agg_ht.sum() % 7).astype(jnp.uint8)
+                        ).astype(jnp.uint8)
             agg = _transpose_add_pallas(agg_ht, agg_v,
                                         out_dtype=sum_dtype)
             if upto == "sum":
