@@ -213,6 +213,13 @@ class StereoVO:
         # feeding _track_step without re-uploading ~150 KB of
         # descriptors per frame
         self._prev_dev = None
+        # AOT-compiled executables: tracing+compiling on the FIRST call
+        # would otherwise happen while holding the process-wide dispatch
+        # lock (a 40 s+ remote compile starves every sibling device
+        # consumer); lower/compile run lock-free, only executions take
+        # the lock
+        self._fe_exe = None
+        self._track_exe = None
 
     def _static_kwargs(self):
         return dict(
@@ -228,11 +235,24 @@ class StereoVO:
 
     def _frame_state(self, left, right, xi_world) -> FrameState:
         with device_lock:
-            outs = _frame_frontend(
-                jnp.asarray(left), jnp.asarray(right),
-                **self._static_kwargs()
-            )
-            outs = jax.device_get(outs)
+            li, ri = jnp.asarray(left), jnp.asarray(right)
+        if self._fe_exe is None:
+            try:  # compile OUTSIDE the dispatch lock
+                self._fe_exe = _frame_frontend.lower(
+                    li, ri, **self._static_kwargs()).compile()
+            except Exception:
+                self._fe_exe = functools.partial(
+                    _frame_frontend, **self._static_kwargs())
+        try:
+            with device_lock:
+                outs = jax.device_get(self._fe_exe(li, ri))
+        except Exception:
+            # shape/spec change (e.g. a camera swapped resolutions):
+            # drop the stale executable and recompile
+            self._fe_exe = None
+            with device_lock:
+                outs = jax.device_get(_frame_frontend(
+                    li, ri, **self._static_kwargs()))
         xy, xy_sub, desc, valid, pts, ok = outs
         self._prev_dev = None
         return FrameState(
@@ -268,14 +288,28 @@ class StereoVO:
                     jnp.asarray(self.prev.pts_ok),
                 )
             p_desc, p_valid, p_pts, p_ok = self._prev_dev
-            outs = _track_step(
-                jnp.asarray(left), jnp.asarray(right),
-                p_desc, p_valid, p_pts, p_ok,
-                self._base_key, jnp.int32(self._ctr),
-                **self._static_kwargs(),
-            )
-            (xy_np, xy_sub_np, desc_np, valid_np, pts_np, ok_np,
-             xi_rel, n_inl) = jax.device_get(outs)
+            args = (jnp.asarray(left), jnp.asarray(right),
+                    p_desc, p_valid, p_pts, p_ok,
+                    self._base_key, jnp.int32(self._ctr))
+        if self._track_exe is None:
+            try:  # compile OUTSIDE the dispatch lock
+                self._track_exe = _track_step.lower(
+                    *args, **self._static_kwargs()).compile()
+            except Exception:
+                self._track_exe = functools.partial(
+                    _track_step, **self._static_kwargs())
+        try:
+            with device_lock:
+                outs = self._track_exe(*args)
+                fetched = jax.device_get(outs)
+        except Exception:
+            # shape/spec change: recompile via the plain jit path
+            self._track_exe = None
+            with device_lock:
+                outs = _track_step(*args, **self._static_kwargs())
+                fetched = jax.device_get(outs)
+        (xy_np, xy_sub_np, desc_np, valid_np, pts_np, ok_np,
+         xi_rel, n_inl) = fetched
         self._prev_dev = (outs[2], outs[3], outs[4], outs[5])
         cur = FrameState(
             xy=xy_np, xy_sub=xy_sub_np, desc=desc_np, valid=valid_np,
