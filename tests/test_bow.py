@@ -87,3 +87,38 @@ def test_min_score_filters(rng):
     # an unrelated random frame scores well below a self-match
     hits = ix.query(other, ov, top_k=1, min_score=0.99)
     assert hits == []
+
+
+def test_bow_concurrent_add_query(rng):
+    """BowIndex is internally thread-safe: a writer adding keyframes
+    while a reader queries must never crash or return indices beyond
+    the snapshot (the engine no longer serializes these behind its own
+    lock — see models/slam.py round-4 notes)."""
+    import threading
+
+    from steroscopic_hardware_tpu.ops.bow import BowIndex
+
+    idx = BowIndex(capacity=4)
+    K = 64
+    descs = [rng.integers(0, 2, (K, 256)).astype(np.uint8)
+             for _ in range(30)]
+    valid = np.ones(K, bool)
+    errs = []
+
+    def writer():
+        try:
+            for d in descs:
+                idx.add(d, valid)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(20):
+            for j, score in idx.query(descs[0], valid, top_k=3):
+                assert 0 <= j < idx.n
+    finally:
+        t.join()
+    assert not errs
+    assert idx.n == len(descs)
