@@ -26,6 +26,21 @@ _lib = None
 _tried = False
 
 
+def _cache_dir() -> str:
+    """Per-version, per-machine cache directory for read-only installs:
+    a package upgrade must not keep loading a stale binary, and a
+    ``-march=native`` artifact in a shared/NFS home must not SIGILL on a
+    host with a different CPU (ADVICE r4)."""
+    import platform
+
+    from steroscopic_hardware_tpu.version import __version__
+
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "steroscopic_hardware_tpu",
+        f"{__version__}-{platform.machine()}-{platform.node()}",
+    )
+
+
 def _build(native_dir: str) -> str | None:
     """Build the shared library from ``native_dir``'s source; returns the
     built path. Read-only installs (site-packages owned by root, zipped
@@ -41,9 +56,7 @@ def _build(native_dir: str) -> str | None:
                 capture_output=True, timeout=120,
             )
             return out if os.path.exists(out) else None
-        cache = os.path.join(
-            os.path.expanduser("~"), ".cache", "steroscopic_hardware_tpu"
-        )
+        cache = _cache_dir()
         os.makedirs(cache, exist_ok=True)
         out = os.path.join(cache, _LIB_NAME)
         if not os.path.exists(out):
@@ -62,10 +75,7 @@ def _locate() -> str | None:
         lib = os.path.join(d, _LIB_NAME)
         if os.path.exists(lib):
             return lib
-    cached = os.path.join(
-        os.path.expanduser("~"), ".cache", "steroscopic_hardware_tpu",
-        _LIB_NAME,
-    )
+    cached = os.path.join(_cache_dir(), _LIB_NAME)
     if os.path.exists(cached):
         return cached
     for d in _NATIVE_DIRS:

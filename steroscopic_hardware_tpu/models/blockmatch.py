@@ -164,29 +164,38 @@ def _sgm_serve(stacked, *, max_disparity, p1, p2, subpixel, lr=False,
     (B, 2, H, W) micro-batch, same packed layouts — serving parity
     between the engines (the pipeline batches whichever matcher exposes
     ``compute_serve_async``)."""
+    depths = [
+        _sgm_one(stacked[b, 0], stacked[b, 1],
+                 max_disparity=max_disparity, p1=p1, p2=p2,
+                 subpixel=subpixel, lr=lr, threshold=threshold)
+        for b in range(stacked.shape[0])
+    ]
+    return _pack_serve(depths, preview_scale, fetch_all, colorize_dev)
+
+
+def _sgm_one(left, right, *, max_disparity, p1, p2, subpixel, lr,
+             threshold):
+    """One frame of the SGM serving step: uint8 disparity (LR-masked to
+    255 when ``lr``), shared by ``_sgm_serve`` and the fused serve+track
+    dispatch (``runtime/fused.py``)."""
     from steroscopic_hardware_tpu.ops.sgm import sgm_disparity, sgm_lr_checked
 
-    def one(left, right):
-        if lr:
-            disp, valid = sgm_lr_checked(
-                left, right, max_disparity=max_disparity, P1=p1, P2=p2,
-                threshold=threshold,
-            )
-        else:
-            disp = sgm_disparity(
-                left, right, max_disparity=max_disparity, P1=p1, P2=p2,
-                subpixel=subpixel,
-            )
-        u8 = jnp.clip(
-            disp * (255.0 / max_disparity) + 0.5, 0, 255
-        ).astype(jnp.uint8)
-        if lr:
-            u8 = jnp.where(valid, u8, jnp.uint8(255))
-        return u8
-
-    depths = [one(stacked[b, 0], stacked[b, 1])
-              for b in range(stacked.shape[0])]
-    return _pack_serve(depths, preview_scale, fetch_all, colorize_dev)
+    if lr:
+        disp, valid = sgm_lr_checked(
+            left, right, max_disparity=max_disparity, P1=p1, P2=p2,
+            threshold=threshold,
+        )
+    else:
+        disp = sgm_disparity(
+            left, right, max_disparity=max_disparity, P1=p1, P2=p2,
+            subpixel=subpixel,
+        )
+    u8 = jnp.clip(
+        disp * (255.0 / max_disparity) + 0.5, 0, 255
+    ).astype(jnp.uint8)
+    if lr:
+        u8 = jnp.where(valid, u8, jnp.uint8(255))
+    return u8
 
 
 @dataclasses.dataclass

@@ -68,6 +68,7 @@ class BowIndex:
             key, 0.5, (n_words, desc_bits)
         ).astype(jnp.float32)
         self.n_words = n_words
+        self.seed = seed  # vocabulary is fully determined by this
         self._db = np.zeros((capacity, n_words), np.float32)
         self.n = 0
         # guards only the host-side buffer append/snapshot (nanoseconds);
@@ -85,6 +86,12 @@ class BowIndex:
     def add(self, desc, valid) -> int:
         """Quantize and append one keyframe; returns its index."""
         vec = self.vector(desc, valid)     # device dispatch, lock-free
+        return self.add_vector(vec)
+
+    def add_vector(self, vec: np.ndarray) -> int:
+        """Append a PRE-QUANTIZED place vector (e.g. computed inside the
+        fused serve+track dispatch, ``runtime/fused.py``) — a keyframe
+        ingest then costs zero device round trips here."""
         with self._mu:
             if self.n == len(self._db):
                 grown = np.zeros((2 * len(self._db), self.n_words),
@@ -95,6 +102,42 @@ class BowIndex:
             self.n += 1
             return self.n - 1
 
+    def add_zero(self) -> int:
+        """Append an inert (zero) row — keeps row/keyframe index
+        alignment when restoring a checkpoint whose old keyframes were
+        feature-culled (models/slam.py _cull_history)."""
+        with self._mu:
+            if self.n == len(self._db):
+                grown = np.zeros((2 * len(self._db), self.n_words),
+                                 np.float32)
+                grown[: self.n] = self._db
+                self._db = grown
+            self._db[self.n] = 0.0
+            self.n += 1
+            return self.n - 1
+
+    def disable(self, idx: int) -> None:
+        """Retire a stored keyframe: zero its row so it scores 0 against
+        every query (excluded by any positive min_score). Used by
+        keyframe feature culling; indices of later rows are unaffected."""
+        with self._mu:
+            if 0 <= idx < self.n:
+                self._db[idx] = 0.0
+
+    def warmup(self, n_desc: int) -> int:
+        """Compile the quantize matmul and the score matvec for the
+        given descriptor count and the CURRENT database capacity — the
+        two programs a live session otherwise compiles at its first
+        keyframe / first query (VERDICT r4 directive #2). Returns the
+        number of programs warmed."""
+        desc = jnp.zeros((n_desc, self.words.shape[1]), jnp.uint8)
+        valid = jnp.zeros((n_desc,), bool)
+        q = _bow_vector(desc, valid, self.words)
+        with self._mu:
+            db = self._db
+        jax.block_until_ready(_scores(jnp.asarray(db), q, 0))
+        return 2
+
     def query(self, desc, valid, *, top_k: int = 3,
               min_score: float = 0.0, before: int | None = None):
         """Top-k most similar stored keyframes.
@@ -102,15 +145,22 @@ class BowIndex:
         ``before`` restricts candidates to indices < before (loop-gap
         temporal exclusion). Returns a list of (index, score), best first.
         """
+        q = _bow_vector(jnp.asarray(desc), jnp.asarray(valid), self.words)
+        return self.query_vector(q, top_k=top_k, min_score=min_score,
+                                 before=before)
+
+    def query_vector(self, vec, *, top_k: int = 3,
+                     min_score: float = 0.0, before: int | None = None):
+        """Top-k retrieval for a PRE-QUANTIZED place vector (same
+        contract as :meth:`query`; skips the quantize dispatch)."""
         with self._mu:
             n = self.n if before is None else min(before, self.n)
             db = self._db    # snapshot ref: rows are append-only and a
             #                  growth swap replaces the buffer wholesale
         if n <= 0:
             return []
-        q = _bow_vector(jnp.asarray(desc), jnp.asarray(valid), self.words)
         s = np.asarray(
-            _scores(jnp.asarray(db), q, n)
+            _scores(jnp.asarray(db), jnp.asarray(vec), n)
         )[:n]
         order = np.argsort(-s)[:top_k]
         return [(int(i), float(s[i])) for i in order
