@@ -356,13 +356,16 @@ class StereoVO:
             self.trajectory.append(xi_world)
         return xi_world
 
-    def positions(self) -> np.ndarray:
+    def positions(self, tail: int | None = None) -> np.ndarray:
         """Camera centers in world coordinates (T^-1 translation), pure
         numpy — it runs per live frame for the /slam snapshot, so it
         must cost no device round trip and never touch the dispatch
-        stream."""
+        stream. ``tail`` limits the conversion to the newest N poses
+        (the snapshot path: O(tail), not O(run length), per poll)."""
         with self.pose_lock:
-            xis = np.stack(self.trajectory)
+            traj = (self.trajectory if tail is None
+                    else self.trajectory[-tail:])
+            xis = np.stack(traj)
         return se3_np.positions(xis)
 
     # -- fused serve+track ingestion (runtime/fused.py) ---------------------
@@ -389,42 +392,65 @@ class StereoVO:
         self.n_inliers.append(0)
         return state.xi_world
 
-    def apply_track_result(self, track, *, fetch_features: bool):
-        """Land one tracking step computed by the fused serve+track
-        dispatch: inlier gate + constant-velocity fallback + host pose
-        accumulation — the post-dispatch half of :meth:`process`, with
-        the device dispatch itself already paid for by the serve batch.
-        ``fetch_features`` materializes the frame's feature fields
-        host-side (keyframe-bound frames only — ~70 KB through the
-        wire); other frames keep them on device (and this FrameState
-        carries None features, which nothing reads for non-keyframes)."""
-        if fetch_features:
-            xy, xy_sub, desc, valid, pts, ok = jax.device_get(
-                track.feat_dev)
-            cur = FrameState(
-                xy=np.asarray(xy), xy_sub=np.asarray(xy_sub),
-                desc=np.asarray(desc), valid=np.asarray(valid),
-                pts_cam=np.asarray(pts), pts_ok=np.asarray(ok),
-                xi_world=np.zeros(6, np.float32), bow=track.bow_vec,
-            )
-        else:
-            cur = FrameState(
-                xy=None, xy_sub=None, desc=None, valid=None,
-                pts_cam=None, pts_ok=None,
-                xi_world=np.zeros(6, np.float32),
-            )
-        xi_rel = np.asarray(track.xi_rel)
-        self.n_inliers.append(int(track.n_inl))
-        if int(track.n_inl) < self.min_pnp_inliers:
-            xi_rel = self._last_xi_rel  # constant-velocity fallback
-            self.tracking_drops += 1
-        else:
-            self._last_xi_rel = xi_rel
+    def seed_external(self):
+        """Seed the trajectory at the chain root of a fused bootstrap
+        batch (no features — the batch's NEWEST frame will carry them;
+        this root frame can never become a keyframe)."""
         with self.pose_lock:
-            xi_world = _accum_pose_host(xi_rel, self.prev.xi_world)
-            cur.xi_world = xi_world
-            self.prev = cur
-            self.trajectory.append(xi_world)
+            xi0 = (np.asarray(self.prev.xi_world)
+                   if self.prev is not None else np.zeros(6, np.float32))
+            state = FrameState(
+                xy=None, xy_sub=None, desc=None, valid=None,
+                pts_cam=None, pts_ok=None, xi_world=xi0,
+            )
+            self.prev = state
+            self.trajectory.append(xi0)
+        self.n_inliers.append(0)
+
+    def apply_track_result(self, track, *, fetch_features: bool,
+                           skip_first: bool = False):
+        """Land a BATCH of tracking steps computed by the fused
+        serve+track dispatch: per frame, inlier gate + constant-velocity
+        fallback + host pose accumulation — the post-dispatch half of
+        :meth:`process`, with the device dispatches already paid for by
+        the serve batch. Only the batch's NEWEST frame has features;
+        ``fetch_features`` materializes them host-side (~70 KB through
+        the wire, keyframe-bound batches only). ``skip_first`` drops the
+        chain-root entry of a bootstrap batch (its xi_rel is garbage —
+        there was no previous frame)."""
+        xi_rels = np.atleast_2d(np.asarray(track.xi_rel, np.float32))
+        n_inls = np.atleast_1d(np.asarray(track.n_inl))
+        B = xi_rels.shape[0]
+        xi_world = None
+        for b in range(1 if skip_first else 0, B):
+            if b == B - 1 and fetch_features:
+                xy, xy_sub, desc, valid, pts, ok = jax.device_get(
+                    track.feat_dev)
+                cur = FrameState(
+                    xy=np.asarray(xy), xy_sub=np.asarray(xy_sub),
+                    desc=np.asarray(desc), valid=np.asarray(valid),
+                    pts_cam=np.asarray(pts), pts_ok=np.asarray(ok),
+                    xi_world=np.zeros(6, np.float32), bow=track.bow_vec,
+                )
+            else:
+                cur = FrameState(
+                    xy=None, xy_sub=None, desc=None, valid=None,
+                    pts_cam=None, pts_ok=None,
+                    xi_world=np.zeros(6, np.float32),
+                )
+            xi_rel = xi_rels[b]
+            n_inl = int(n_inls[b])
+            self.n_inliers.append(n_inl)
+            if n_inl < self.min_pnp_inliers:
+                xi_rel = self._last_xi_rel  # constant-velocity fallback
+                self.tracking_drops += 1
+            else:
+                self._last_xi_rel = xi_rel
+            with self.pose_lock:
+                xi_world = _accum_pose_host(xi_rel, self.prev.xi_world)
+                cur.xi_world = xi_world
+                self.prev = cur
+                self.trajectory.append(xi_world)
         return xi_world
 
 
@@ -573,19 +599,35 @@ class StereoSLAM:
         return self._after_track(t0)
 
     def process_tracked(self, track) -> np.ndarray:
-        """:meth:`process` for a frame tracked by the fused serve+track
-        dispatch (``runtime/fused.py``): no upload and no tracking
-        dispatch happen here — the depth serve batch already computed
-        everything. Lands the result, runs the keyframe policy, and
-        hands the backend its work."""
+        """:meth:`process` for a BATCH of frames tracked by the fused
+        serve+track dispatch (``runtime/fused.py``): no upload and no
+        tracking dispatch happen here — the depth serve batch already
+        computed everything. Lands every frame's pose, runs the keyframe
+        policy (a keyframe lands on the batch's newest frame — the one
+        whose features exist — whenever one is due inside the batch),
+        and hands the backend its work."""
         t0 = time.perf_counter()
-        if track.bootstrap or self.vo.prev is None:
+        B = np.atleast_2d(np.asarray(track.xi_rel)).shape[0]
+        bootstrap = track.bootstrap or self.vo.prev is None
+        kf_due = any((self.frame_idx + i) % self.kf_every == 0
+                     for i in range(B))
+        if bootstrap and B == 1:
             self.vo.ingest_external_frame(track)
+        elif bootstrap:
+            self.vo.seed_external()
+            self.vo.apply_track_result(track, fetch_features=kf_due,
+                                       skip_first=True)
         else:
-            is_kf = self.frame_idx % self.kf_every == 0
-            self.vo.apply_track_result(track, fetch_features=is_kf)
+            self.vo.apply_track_result(track, fetch_features=kf_due)
         self.stage_s["vo"] += time.perf_counter() - t0
-        return self._after_track(t0)
+        self.frame_idx += B
+        if kf_due:
+            if self.async_backend:
+                self._ingest_keyframe_async()
+            else:
+                self._ingest_keyframe_sync()
+        with self._lock:
+            return self.vo.trajectory[-1]
 
     def _after_track(self, t0) -> np.ndarray:
         if self.frame_idx % self.kf_every == 0:

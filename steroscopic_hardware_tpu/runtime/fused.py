@@ -41,10 +41,12 @@ from steroscopic_hardware_tpu.models.blockmatch import (
 from steroscopic_hardware_tpu.models.slam import _track_step
 from steroscopic_hardware_tpu.utils.devlock import dispatch
 
-# track tail layout (bytes, at the END of the fused fetch buffer):
-#   xi_rel   6 x f32 -> 24
-#   n_inl    1 x i32 ->  4
-#   bow_vec  V x f32 -> 4 V   (only when the engine runs BoW loop closure)
+# track tail layout (bytes, at the END of the fused fetch buffer), for a
+# batch of B tracked frames:
+#   xi_rel   B x 6 x f32 -> 24 B
+#   n_inl    B x i32     ->  4 B
+#   bow_vec  V x f32     ->  4 V  (only when the engine runs BoW loop
+#                                  closure; newest frame only)
 _XI_BYTES = 24
 _NINL_BYTES = 4
 
@@ -92,19 +94,30 @@ def _serve_track(stacked, prev_desc, prev_valid, prev_pts, prev_ok, key,
         ]
     packed = _pack_serve(depths, preview_scale, fetch_all, colorize_dev)
 
-    xy, xy_sub, desc, valid, pts, ok, xi_rel, n_inl = _track_step(
-        stacked[-1, 0], stacked[-1, 1], prev_desc, prev_valid, prev_pts,
-        prev_ok, key, ctr, block_size=t_block_size,
-        max_disparity=t_max_disparity, fast_threshold=fast_threshold,
-        max_keypoints=max_keypoints, intr=intr, baseline=baseline,
-        use_pallas=use_pallas, frontend=frontend,
-    )
+    # track EVERY frame of the batch, chained on device: frame b tracks
+    # against frame b-1's features (frame 0 against the previous batch's
+    # newest). The chip's per-frame tracking budget (~9 ms at VGA) rides
+    # inside the wire-bound serve window, so live SLAM runs at FULL
+    # depth fps instead of one track per batch.
+    feats = (prev_desc, prev_valid, prev_pts, prev_ok)
+    xi_rels, n_inls = [], []
+    for b in range(stacked.shape[0]):
+        xy, xy_sub, desc, valid, pts, ok, xi_rel, n_inl = _track_step(
+            stacked[b, 0], stacked[b, 1], *feats, key, ctr + b,
+            block_size=t_block_size, max_disparity=t_max_disparity,
+            fast_threshold=fast_threshold, max_keypoints=max_keypoints,
+            intr=intr, baseline=baseline, use_pallas=use_pallas,
+            frontend=frontend,
+        )
+        feats = (desc, valid, pts, ok)
+        xi_rels.append(xi_rel)
+        n_inls.append(n_inl)
 
     tail = [
         jax.lax.bitcast_convert_type(
-            xi_rel.astype(jnp.float32), jnp.uint8).ravel(),
+            jnp.stack(xi_rels).astype(jnp.float32), jnp.uint8).ravel(),
         jax.lax.bitcast_convert_type(
-            n_inl.astype(jnp.int32), jnp.uint8).ravel(),
+            jnp.stack(n_inls).astype(jnp.int32), jnp.uint8).ravel(),
     ]
     if bow_words is not None:
         # the place-recognition vector of the tracked frame, quantized
@@ -144,15 +157,17 @@ def split_serve(flat, B, H, W, *, preview_scale=1, fetch_all=True,
 
 @dataclasses.dataclass
 class TrackResult:
-    """One tracking step's results, handed from the depth compute thread
-    to the SLAM pipeline thread. Features stay on device."""
+    """One batch's tracking results, handed from the depth compute
+    thread to the SLAM pipeline thread. Only the NEWEST frame's
+    features exist (on device); every frame's relative twist does."""
 
-    feat_dev: tuple          # (xy, xy_sub, desc, valid, pts, ok)
-    xi_rel: np.ndarray       # (6,) relative twist prev->cur
-    n_inl: int               # PnP inlier support
-    bow_vec: np.ndarray | None  # (V,) place vector (loop closure on)
-    bootstrap: bool          # first tracked frame (xi_rel is garbage)
-    t_capture: float = 0.0   # bus capture timestamp of the tracked frame
+    feat_dev: tuple          # newest frame's (xy, xy_sub, desc, valid,
+    #                          pts, ok), device-resident
+    xi_rel: np.ndarray       # (B, 6) relative twists, frame b-1 -> b
+    n_inl: np.ndarray        # (B,) PnP inlier support per frame
+    bow_vec: np.ndarray | None  # (V,) newest frame's place vector
+    bootstrap: bool          # chain root: xi_rel[0] is garbage
+    t_capture: float = 0.0   # bus capture timestamp of the newest frame
 
 
 class FusedServeTrack:
@@ -160,10 +175,11 @@ class FusedServeTrack:
 
     Driven by ``DepthPipeline._step_batch`` on the compute thread: one
     ``step`` per micro-batch performs one upload, one execution, one
-    fetch. Tracking is batch-to-batch (the newest pair of each batch
-    tracks against the newest pair of the previous batch) — the same
-    frame-sampling semantics the round-4 live SLAM thread had, minus its
-    duplicate uploads and extra RPCs.
+    fetch — and tracks EVERY frame of the batch, chained on device
+    (frame b against frame b-1, frame 0 against the previous batch's
+    newest). Live SLAM therefore runs at full depth fps; the round-4
+    design sampled one frame per its own separate upload+dispatch and
+    topped out at 2.4-3.4 fps through the tunnel.
     """
 
     def __init__(self, matcher, slam):
@@ -200,9 +216,7 @@ class FusedServeTrack:
             ),
             bow_seed=getattr(bow, "seed", 0) if bow is not None else 0,
         )
-        self.tail_bytes = _XI_BYTES + _NINL_BYTES + (
-            4 * bow.n_words if bow is not None else 0
-        )
+        self.bow_bytes = 4 * bow.n_words if bow is not None else 0
 
     def _serve_statics(self, lr, preview_scale, fetch_all, colorize_dev):
         p = self.matcher.get_params()
@@ -284,18 +298,20 @@ class FusedServeTrack:
             with dispatch("stream"):
                 flat_dev, feat_dev = _serve_track(*args, **statics)
                 flat = np.asarray(flat_dev)
-        self._ctr += 1
+        B = len(pairs)
+        self._ctr += B
         self._prev_dev = (feat_dev[2], feat_dev[3], feat_dev[4],
                           feat_dev[5])
 
-        tb = self.tail_bytes
+        tb = B * (_XI_BYTES + _NINL_BYTES) + self.bow_bytes
         serve_flat, tail = flat[:-tb], flat[-tb:]
-        xi_rel = tail[:_XI_BYTES].copy().view(np.float32)
-        n_inl = int(tail[_XI_BYTES:_XI_BYTES + _NINL_BYTES]
-                    .copy().view(np.int32)[0])
+        xi_rel = tail[: B * _XI_BYTES].copy().view(
+            np.float32).reshape(B, 6)
+        n_inl = tail[B * _XI_BYTES: B * (_XI_BYTES + _NINL_BYTES)] \
+            .copy().view(np.int32)
         bow_vec = None
-        if tb > _XI_BYTES + _NINL_BYTES:
-            bow_vec = tail[_XI_BYTES + _NINL_BYTES:].copy().view(
+        if self.bow_bytes:
+            bow_vec = tail[B * (_XI_BYTES + _NINL_BYTES):].copy().view(
                 np.float32)
         return serve_flat, TrackResult(
             feat_dev=feat_dev, xi_rel=xi_rel, n_inl=n_inl,

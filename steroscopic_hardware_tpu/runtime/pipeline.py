@@ -581,7 +581,12 @@ class SlamPipeline:
             "fused": self.fused,
             "fused_dropped": self.fused_dropped,
             "inliers": list(self.slam.vo.n_inliers[-20:]),
-            "positions": self.slam.vo.positions().tolist(),
+            # tail only: with every depth frame tracked (fused mode) the
+            # trajectory grows at stream rate, and serializing the whole
+            # of it per /slam poll would grow without bound over an
+            # hours-long session; positions_total keeps the count honest
+            "positions": self.slam.vo.positions(tail=4096).tolist(),
+            "positions_total": len(self.slam.vo.trajectory),
         }
         with self._lock:
             self._snapshot = snap

@@ -100,6 +100,31 @@ def test_fused_track_matches_classic_vo(rng):
     assert slam.ba_runs == classic.ba_runs
 
 
+def test_fused_batch_tracking_matches_classic(rng):
+    """The fused executable tracks EVERY frame of a batch, chained on
+    device; with keyframing disabled the pose chain is bit-comparable
+    to feeding the classic VO one frame at a time (same fold_in keys:
+    frame i draws ctr=i in both paths)."""
+    frames = _sequence(rng, n=6)
+    fused, matcher, slam = _mk(rng, kf_every=1000)
+    classic = StereoSLAM(CAM, async_backend=False, kf_every=1000,
+                         **VO_KW)
+
+    for i in range(0, 6, 2):  # batches of 2
+        pairs = [frames[i], frames[i + 1]]
+        flat, track = fused.step(pairs, fetch_all=True,
+                                 colorize_dev=False)
+        assert track.xi_rel.shape == (2, 6)
+        slam.process_tracked(track)
+    for left, right in frames:
+        classic.process(left, right)
+
+    assert slam.frame_idx == classic.frame_idx == 6
+    np.testing.assert_allclose(slam.vo.positions(),
+                               classic.vo.positions(), atol=1e-5)
+    assert slam.vo.n_inliers[1:] == classic.vo.n_inliers[1:]
+
+
 def test_fused_bow_vector_matches_index(rng):
     frames = _sequence(rng, n=3)
     fused, matcher, slam = _mk(rng, loop_closure=True)
@@ -146,7 +171,9 @@ def test_fused_pipeline_end_to_end(rng):
     depth_pipe.start()
     slam_pipe.start()
     try:
-        deadline = time.time() + 30.0
+        # generous: the CPU backend compiles the fused buckets AND the
+        # 9 warmup programs concurrently before frames can flow
+        deadline = time.time() + 120.0
         while time.time() < deadline:
             if slam_pipe.frames >= 4 and depth_pipe.frames >= 4:
                 break
