@@ -99,6 +99,12 @@ def main(argv=None):
                     "(default: fetch uint8 depth only and colorize "
                     "host-side via the Turbo LUT — 3x less fetch "
                     "traffic)")
+    ap.add_argument("--serial", action="append", default=[],
+                    metavar="SLOT=DEVICE[@BAUD]",
+                    help="attach a real serial camera (repeatable), e.g. "
+                         "--serial left=/dev/ttyUSB0@921600; the live "
+                         "transport of the reference's cameras "
+                         "(pkg/camera/serial.go)")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile the current parameter bucket in the "
                          "background at startup (hides first-frame "
@@ -185,15 +191,33 @@ def main(argv=None):
                      max_stream_clients=args.max_stream_clients,
                      rigs=rigs)
 
+    serial_slots = set()
+    for spec in args.serial:
+        slot, _, dev = spec.partition("=")
+        dev, _, baud = dev.partition("@")
+        if not slot or not dev:
+            raise SystemExit(f"bad --serial spec {spec!r}")
+        from steroscopic_hardware_tpu.runtime.sources import SerialSource
+
+        manager.set_source(slot, SerialSource(
+            manager.bus, slot, dev, baud=int(baud or 921600)))
+        serial_slots.add(slot)
+
     left = args.left or os.path.join(DEFAULT_TESTDATA, "L_00001.png")
     right = args.right or os.path.join(DEFAULT_TESTDATA, "R_00001.png")
-    if os.path.exists(left) and os.path.exists(right):
-        manager.set_source(
-            "left", StaticSource(manager.bus, "left", left, fps=args.fps)
-        )
-        manager.set_source(
-            "right", StaticSource(manager.bus, "right", right, fps=args.fps)
-        )
+    if serial_slots >= {"left", "right"}:
+        pass  # both live cameras attached; no static boot sources
+    elif os.path.exists(left) and os.path.exists(right):
+        if "left" not in serial_slots:
+            manager.set_source(
+                "left",
+                StaticSource(manager.bus, "left", left, fps=args.fps),
+            )
+        if "right" not in serial_slots:
+            manager.set_source(
+                "right",
+                StaticSource(manager.bus, "right", right, fps=args.fps),
+            )
     else:
         log.warning("boot images missing; configure cameras via the API")
 

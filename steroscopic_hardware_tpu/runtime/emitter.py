@@ -9,6 +9,7 @@ and usable as a real bridge process feeding live imagery into the engine.
 
 from __future__ import annotations
 
+import os
 import socket
 import threading
 
@@ -33,6 +34,82 @@ def list_emitters() -> list[dict]:
         {"host": e.host, "port": e.port, "codec": e.codec, "fps": e.fps}
         for e in ems
     ]
+
+
+class SerialEmitter:
+    """Firmware loop over a raw file descriptor (serial device or pty
+    master): wait for 0xFFD8, ack 0x01, stream frames, stop on 0xFFD9 —
+    the fd-level twin of :class:`CameraEmitter`, playing the Zedboard
+    UART firmware (``camera_app.c:130-233``) against
+    ``runtime.sources.SerialSource``. Tests attach it to the master end
+    of ``os.openpty()`` for a hardware-free full-protocol drive."""
+
+    def __init__(self, frame_fn, fd: int, codec: int = wire.CODEC_RAW,
+                 fps: float = 30.0, max_frames: int | None = None):
+        self.frame_fn = frame_fn
+        self.fd = fd
+        self.codec = codec
+        self.fps = fps
+        self.max_frames = max_frames
+        self.frames_sent = 0
+        self.log = get_logger("SerialEmitter")
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def close(self):
+        self._closed.set()
+        try:
+            os.close(self.fd)
+        except OSError:
+            pass
+
+    def _read_nonblock(self, n: int) -> bytes:
+        try:
+            return os.read(self.fd, n)
+        except BlockingIOError:
+            return b""
+
+    def _serve(self):
+        import time
+
+        try:
+            # blocking wait for the start request
+            start = b""
+            while not self._closed.is_set() and len(start) < 2:
+                chunk = os.read(self.fd, 2 - len(start))
+                if not chunk:
+                    return
+                start = (start + chunk)[-2:]
+                if start == wire.START_SEQ:
+                    break
+            if start != wire.START_SEQ:
+                return
+            os.write(self.fd, wire.ACK)
+            os.set_blocking(self.fd, False)
+            n = 0
+            period = 1.0 / self.fps
+            ctrl = b""
+            while not self._closed.is_set():
+                if self.max_frames is not None and n >= self.max_frames:
+                    break
+                ctrl = (ctrl + self._read_nonblock(16))[-4:]
+                if wire.END_SEQ in ctrl:
+                    break
+                frame = np.asarray(self.frame_fn(n), dtype=np.uint8)
+                blob = wire.encode_frame(frame, codec=self.codec)
+                os.set_blocking(self.fd, True)
+                off = 0
+                while off < len(blob):
+                    off += os.write(self.fd, blob[off:])
+                os.set_blocking(self.fd, False)
+                self.frames_sent = n = n + 1
+                time.sleep(period)
+        except OSError:
+            pass
 
 
 class CameraEmitter:

@@ -392,19 +392,24 @@ def _make_handler(ctx: AppContext):
             elif path == "/exit":
                 self._send(200, shlog.dump_buffer())
             elif path == "/ports":
-                # TCP analog of the reference's real serial-port
-                # enumeration (cmd/handlers/ports.go:14-61): advertise
-                # live in-process CameraEmitters plus the TCP endpoints
-                # of every currently configured source.
+                # the reference's real serial-port enumeration
+                # (cmd/handlers/ports.go:14-61) plus this runtime's
+                # extra ingest surfaces: REAL serial devices first, then
+                # live in-process CameraEmitters and the endpoints of
+                # every currently configured source.
                 from steroscopic_hardware_tpu.runtime.emitter import (
                     list_emitters,
                 )
                 from steroscopic_hardware_tpu.runtime.sources import (
+                    SerialSource,
                     TcpSource,
+                    list_serial_ports,
                 )
 
-                ports = [dict(kind="emitter", **e)
-                         for e in list_emitters()]
+                ports = [{"kind": "serial", "device": d}
+                         for d in list_serial_ports()]
+                ports += [dict(kind="emitter", **e)
+                          for e in list_emitters()]
                 with ctx.manager._lock:
                     srcs = dict(ctx.manager._sources)
                 for slot, s in srcs.items():
@@ -414,8 +419,16 @@ def _make_handler(ctx: AppContext):
                             "host": s.host, "port": s.port,
                             "closed": s.closed,
                         })
+                    elif isinstance(s, SerialSource):
+                        ports.append({
+                            "kind": "configured", "slot": slot,
+                            "device": s.device, "baud": s.baud,
+                            "closed": s.closed,
+                        })
                 self._json({"ports": ports, "hint":
-                            "POST /left/configure host=<h> port=<p>"})
+                            "POST /left/configure host=<h> port=<p> "
+                            "(TCP) or device=/dev/ttyUSB0 baud=921600 "
+                            "(serial)"})
             else:
                 self._send(404, b"not found")
 
@@ -510,20 +523,37 @@ def _make_handler(ctx: AppContext):
             self._json(params.to_json())
 
         def _configure(self, slot: str):
-            # configure.go:26-120 parity: port + compression codec form
-            # (baud rate has no TCP analog; codec replaces "compression");
-            # slot may be rig-prefixed (rig1.left)
+            # configure.go:26-120 parity: the reference form carries
+            # port + baud rate + compression; here ``device`` (+baud)
+            # attaches a REAL serial camera and host+port a TCP one.
+            # Slot may be rig-prefixed (rig1.left).
             split_slot(slot)  # validates
             form = self._form()
+            codec = int(form.get("codec", 0))
+            if codec not in (0, 1, 2):
+                raise ParamValidationError(f"bad codec {codec}")
+            device = form.get("device", "")
+            if isinstance(device, bytes):
+                device = device.decode()
+            if device:
+                from steroscopic_hardware_tpu.runtime.sources import (
+                    SerialSource,
+                )
+
+                baud = int(form.get("baud", 921600))
+                if baud <= 0:
+                    raise ParamValidationError(f"bad baud {baud}")
+                src = SerialSource(ctx.bus, slot, device, baud=baud)
+                ctx.manager.set_source(slot, src)
+                self._json({"configured": slot, "device": device,
+                            "baud": baud, "codec": codec})
+                return
             host = form.get("host", "127.0.0.1")
             port = int(form.get("port", 0))
-            codec = int(form.get("codec", 0))
             if isinstance(host, bytes):
                 host = host.decode()
             if port <= 0:
-                raise ParamValidationError("port required")
-            if codec not in (0, 1, 2):
-                raise ParamValidationError(f"bad codec {codec}")
+                raise ParamValidationError("port or device required")
             src = TcpSource(ctx.bus, slot, host, port)
             ctx.manager.set_source(slot, src)
             self._json({"configured": slot, "host": host, "port": port,

@@ -18,6 +18,9 @@ output camera that runs the compute loop (``output.go``, reimplemented in
                         headers — ``serial.go:17-27``, ``camera_app.c:130-233``)
                         with reconnect + exponential backoff
                         (``serial.go:181-229``).
+* ``SerialSource``    — the same protocol over a REAL serial device
+                        (raw termios 8N1, ``serial.go:46-91``); see the
+                        class docstring.
 
 Each source runs a daemon thread publishing grayscale frames to a
 ``FrameBus`` slot, with pause/resume/close lifecycle.
@@ -25,6 +28,7 @@ Each source runs a daemon thread publishing grayscale frames to a
 
 from __future__ import annotations
 
+import os
 import socket
 import threading
 import time
@@ -142,6 +146,133 @@ class SyntheticSource(BaseSource):
             self._publish(frame)
             n += 1
             time.sleep(max(0.0, period - (time.time() - t0)))
+
+
+def list_serial_ports() -> list[str]:
+    """Enumerate REAL serial devices — the stdlib equivalent of the
+    reference's go.bug.st/serial/enumerator walk
+    (``cmd/handlers/ports.go:14-61``): stable ``/dev/serial/by-id``
+    names first, then USB serial adapters, then platform UARTs that
+    actually have a UART bound (``/sys/class/tty/<dev>/type != 0`` —
+    an unbound ttyS node is a stub, not a port)."""
+    import glob
+
+    out: list[str] = []
+    out += sorted(glob.glob("/dev/serial/by-id/*"))
+    out += sorted(glob.glob("/dev/ttyUSB*"))
+    out += sorted(glob.glob("/dev/ttyACM*"))
+    for p in sorted(glob.glob("/dev/ttyS*")):
+        try:
+            name = p.rsplit("/", 1)[-1]
+            with open(f"/sys/class/tty/{name}/type") as f:
+                if f.read().strip() != "0":
+                    out.append(p)
+        except OSError:
+            out.append(p)
+    return out
+
+
+class SerialSource(BaseSource):
+    """Streams frames from a REAL serial device.
+
+    The transport the reference's live cameras actually use
+    (``pkg/camera/serial.go:46-91``: go.bug.st/serial, 8 data bits, no
+    parity, one stop bit). pyserial is not in the image, so the port is
+    configured directly with stdlib ``termios``: raw mode (which is 8N1
+    — raw clears parity and sets CS8), the requested baud when the
+    kernel supports it, and VMIN=0/VTIME=1 so reads poll at 100 ms and
+    ``close()`` stays responsive.
+
+    Protocol and lifecycle match :class:`TcpSource` exactly — send
+    0xFFD8, expect the 0x01 ack, feed the byte stream through the
+    shared wire parser, send 0xFFD9 on close — with the same 10 ms to
+    1 s reconnect backoff (``serial.go:181-229``) and 4-minute frame
+    timeout (``serial.go:242``). Works on any termios-capable character
+    device including a pty (``os.openpty``), which is how the test
+    suite drives the full protocol hardware-free
+    (``tests/test_serial.py``).
+    """
+
+    def __init__(self, bus, slot, device: str, baud: int = 921600,
+                 frame_timeout: float = 240.0):
+        super().__init__(bus, slot)
+        self.device = device
+        self.baud = baud
+        self.frame_timeout = frame_timeout
+        self.reconnects = 0
+
+    @staticmethod
+    def _configure_tty(fd: int, baud: int) -> None:
+        import termios
+        import tty
+
+        tty.setraw(fd)  # raw 8N1: clears ICANON/ECHO/PARENB, sets CS8
+        attrs = termios.tcgetattr(fd)
+        speed = getattr(termios, f"B{baud}", None)
+        if speed is not None:
+            attrs[4] = speed  # ispeed
+            attrs[5] = speed  # ospeed
+        attrs[6][termios.VMIN] = 0
+        attrs[6][termios.VTIME] = 1  # 100 ms read poll
+        termios.tcsetattr(fd, termios.TCSANOW, attrs)
+
+    def _read_exact(self, fd: int, n: int, timeout: float) -> bytes:
+        deadline = time.time() + timeout
+        buf = b""
+        while (len(buf) < n and time.time() < deadline
+               and not self._closed.is_set()):
+            buf += os.read(fd, n - len(buf))
+        return buf
+
+    def _run(self):
+        import termios
+
+        backoff = 0.01
+        while not self._closed.is_set():
+            fd = None
+            try:
+                fd = os.open(self.device, os.O_RDWR | os.O_NOCTTY)
+                try:
+                    self._configure_tty(fd, self.baud)
+                except termios.error as e:
+                    raise ConnectionError(f"not a serial device: {e}")
+                self.log.info("opened %s @ %d baud", self.device,
+                              self.baud)
+                os.write(fd, wire.START_SEQ)
+                ack = self._read_exact(fd, 1, timeout=5.0)
+                if ack != wire.ACK:
+                    raise ConnectionError(f"bad ack {ack!r}")
+                backoff = 0.01
+                parser = wire.make_parser()
+                last_frame = time.time()
+                while not self._closed.is_set():
+                    data = os.read(fd, 65536)
+                    if data:
+                        frames = parser.feed(data)
+                        for frame in frames:
+                            self._publish(frame)
+                        if frames:
+                            last_frame = time.time()
+                    elif time.time() - last_frame > self.frame_timeout:
+                        raise ConnectionError("frame timeout")
+                try:
+                    os.write(fd, wire.END_SEQ)
+                except OSError:
+                    pass
+            except (OSError, ConnectionError) as e:
+                if self._closed.is_set():
+                    break
+                self.log.warning("serial error: %s; retry in %.0fms",
+                                 e, backoff * 1000)
+                self.reconnects += 1
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 1.0)
+            finally:
+                if fd is not None:
+                    try:
+                        os.close(fd)
+                    except OSError:
+                        pass
 
 
 class TcpSource(BaseSource):
