@@ -580,6 +580,10 @@ class SlamPipeline:
             "warm": getattr(self, "_warm_done", False),
             "fused": self.fused,
             "fused_dropped": self.fused_dropped,
+            # cumulative per-stage seconds (vo/ba/loop/graph): lets a
+            # soak derive per-closure optimize time over the run's life
+            "stage_s": {k: round(v, 3)
+                        for k, v in self.slam.stage_s.items()},
             "inliers": list(self.slam.vo.n_inliers[-20:]),
             # tail only: with every depth frame tracked (fused mode) the
             # trajectory grows at stream rate, and serializing the whole

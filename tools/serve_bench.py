@@ -2,12 +2,23 @@
 """Live-serving benchmark: sustained fps through the real transport.
 
 Boots the production server (``python -m steroscopic_hardware_tpu``) as a
-subprocess in each configuration, waits for the pipeline to warm up,
-samples ``/metrics`` over a measurement window, and reports sustained
-fps, per-frame latency, and the wire traffic per published frame — the
-BENCH.md serving matrix (VERDICT r2 directives #6 and #10: the tunnel
-fps for SAD host-colorize/device-colorize/preview and the SGM engine's
-serving row).
+subprocess in each configuration, waits for the pipeline (and, for slam
+rows, the backend warmup) to be ready, samples ``/metrics`` + ``/slam``
+over a measurement window, and reports sustained fps, per-frame latency,
+and the wire traffic per published frame — the BENCH.md serving matrix.
+
+Round-5 rules (VERDICT r4 directives #5/#6):
+  * The tunnel bandwidth probe is a HARD precondition: a row whose
+    window bandwidth could not be measured FAILS (error field) instead
+    of shipping with ``tunnel_bw_mb_s: null``.
+  * slam rows wait for ``/slam`` ``warm: true`` (backend solvers
+    AOT-compiled) before the window opens, and report the POSE rate
+    (``slam_pose_fps`` — every depth frame is tracked in the fused
+    dispatch) alongside batches, keyframes, closures and backlog
+    counters.
+  * ``dual-rig`` boots TWO stereo rigs on one chip (the reference's
+    two-Zedboard topology, ``cmd/root.go:160-189``) and records both
+    rigs' fps in one window.
 
 Wire accounting per published frame (uint8, VGA=640x480):
   upload:   2 * H * W (the stereo pair; batching amortizes RPC overhead
@@ -16,8 +27,10 @@ Wire accounting per published frame (uint8, VGA=640x480):
             device-colorize full: (B+3)*H*W / B
             light (preview k, device): H*W + 3*H*W/k^2
             light (preview k, host):   H*W
+  slam rows add ZERO upload/fetch bytes: tracking rides the serve
+  dispatch (runtime/fused.py), and its results ride the serve fetch.
 
-  python tools/serve_bench.py [--secs 30] [--configs sad,sad-dev,...]
+  python tools/serve_bench.py [--secs 30] [--configs sad,slam,...]
 """
 
 import argparse
@@ -32,6 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PORT = 8199
 H, W = 480, 640
+TESTDATA = "/root/reference/testdata"
 
 CONFIGS = {
     # name: (extra server args, bytes-fetched-per-published-frame fn)
@@ -43,13 +57,17 @@ CONFIGS = {
     "sad-lr": (["--lr-check"], lambda B, k: H * W),
     "sgm": (["--backend", "sgm"], lambda B, k: H * W),
     "sgm-lr": (["--backend", "sgm", "--lr-check"], lambda B, k: H * W),
-    # live SLAM rows (VERDICT r3 directive #1): the SLAM pipeline runs
-    # alongside the depth pipeline (the product --slam config); the row
-    # reports BOTH the depth fps and the SLAM frame rate from /slam,
-    # plus backend queue stats proving closures never stall the loop
+    # live SLAM rows: tracking + loop closure ride the SAME dispatch and
+    # fetch as the depth serve (fused), so wire cost matches "sad"
     "slam": (["--slam", "--loop-closure"], lambda B, k: H * W),
     "slam-sgm": (["--slam", "--loop-closure", "--backend", "sgm"],
                  lambda B, k: H * W),
+    # two stereo rigs, one chip: the unnamed rig plus rig2 on its own
+    # pipeline/params — N-rig sharing must not starve either rig
+    "dual-rig": ([
+        "--rig",
+        f"rig2={TESTDATA}/L_00001.png,{TESTDATA}/R_00001.png",
+    ], lambda B, k: H * W),
 }
 
 
@@ -95,9 +113,24 @@ def tunnel_bandwidth_mb_s():
         return None
 
 
+def measure_bandwidth_hard(retries=3):
+    """HARD precondition (VERDICT r4 weak #4): returns a measured
+    bandwidth or None after exhausting retries — the caller must FAIL
+    the row on None, not null the field."""
+    for i in range(retries):
+        bw = tunnel_bandwidth_mb_s()
+        if bw is not None:
+            return bw
+        time.sleep(10.0)
+    return None
+
+
 def run_config(name, secs, warmup_s, compile_wait_s):
     args, fetch_bytes = CONFIGS[name]
-    bw = tunnel_bandwidth_mb_s()
+    bw = measure_bandwidth_hard()
+    if bw is None:
+        return {"config": name,
+                "error": "bandwidth probe failed (hard precondition)"}
     env = os.environ.copy()
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     proc = subprocess.Popen(
@@ -123,13 +156,15 @@ def run_config(name, secs, warmup_s, compile_wait_s):
             return {"config": name, "error":
                     f"no frames within {compile_wait_s}s (wedged compile?)"}
         is_slam = "--slam" in args
+        is_dual = "--rig" in args
         if is_slam:
-            # the SLAM pipeline compiles its own programs (frontend,
-            # matcher, PnP) after the depth pipeline is already serving;
-            # wait for its first frames too or the row measures zeros
+            # warm window: frames flowing AND backend solvers compiled
+            # (warm flag from StereoSLAM.warmup_backend) so the row
+            # measures serving, not compiling (VERDICT r4 directive #2)
             while time.time() < deadline:
                 try:
-                    if fetch_json("/slam").get("frames", 0) >= 5:
+                    s = fetch_json("/slam")
+                    if s.get("frames", 0) >= 5 and s.get("warm"):
                         break
                 except Exception:
                     pass
@@ -165,13 +200,33 @@ def run_config(name, secs, warmup_s, compile_wait_s):
                 key = f"lat_{part}_{q}"
                 if key in m1["pipeline"]:
                     rec[key] = m1["pipeline"][key]
+        if is_dual:
+            r0 = m0.get("rigs", {}).get("rig2", {})
+            r1 = m1.get("rigs", {}).get("rig2", {})
+            dr = r1.get("frames", 0) - r0.get("frames", 0)
+            rec["rig2_fps"] = round(dr / dt, 1)
+            rec["rig2_frames"] = dr
+            rec["rig2_ms_p50"] = r1.get("ms_p50")
+            rec["rig2_ms_p95"] = r1.get("ms_p95")
+            rec["both_rigs_fps"] = round((df + dr) / dt, 1)
         if is_slam:
-            rec["slam_fps"] = round(
+            # batches processed + POSES landed (fused mode tracks every
+            # depth frame; poses/s is the honest live-SLAM rate)
+            rec["slam_batch_fps"] = round(
                 (s1["frames"] - s0["frames"]) / dt, 2)
+            p0 = s0.get("positions_total", len(s0.get("positions", [])))
+            p1 = s1.get("positions_total", len(s1.get("positions", [])))
+            rec["slam_pose_fps"] = round((p1 - p0) / dt, 2)
             rec["slam_keyframes"] = s1.get("keyframes")
             rec["slam_loops_closed"] = s1.get("loops_closed")
+            rec["slam_loops_closed_window"] = (
+                s1.get("loops_closed", 0) - s0.get("loops_closed", 0))
             rec["slam_backend_pending"] = s1.get("backend_pending")
             rec["slam_backend_coalesced"] = s1.get("backend_coalesced")
+            rec["slam_loop_checks_skipped"] = s1.get(
+                "loop_checks_skipped")
+            rec["slam_fused"] = s1.get("fused")
+            rec["slam_errors"] = s1.get("errors")
         return rec
     finally:
         proc.terminate()
