@@ -58,6 +58,16 @@ def _scores(db, q, n):
     return jnp.where(live, s, -jnp.inf)
 
 
+@jax.jit
+def _db_set_row(db, i, vec):
+    """Append/overwrite one row of the device-resident database. NOT
+    donated on purpose: a concurrent ``query_vector`` may still be
+    reading the previous buffer, and the device-side table copy this
+    costs is microseconds (vs the megabyte HOST->DEVICE re-upload per
+    query that a host-only table costs through a remote transport)."""
+    return jax.lax.dynamic_update_slice(db, vec[None, :], (i, 0))
+
+
 class BowIndex:
     """Append-only place-recognition database over keyframe descriptors."""
 
@@ -69,7 +79,13 @@ class BowIndex:
         ).astype(jnp.float32)
         self.n_words = n_words
         self.seed = seed  # vocabulary is fully determined by this
+        # host mirror (checkpoint/rebuild source of truth) + lazily
+        # synced DEVICE-resident copy: queries score against the device
+        # table (no per-query megabyte re-upload through the wire), and
+        # each append costs one 1 KB vector upload + a device-side row
+        # write
         self._db = np.zeros((capacity, n_words), np.float32)
+        self._db_dev = None
         self.n = 0
         # guards only the host-side buffer append/snapshot (nanoseconds);
         # device dispatches (quantize matmul, score matvec) happen OUTSIDE
@@ -88,33 +104,44 @@ class BowIndex:
         vec = self.vector(desc, valid)     # device dispatch, lock-free
         return self.add_vector(vec)
 
+    def _ensure_dev(self):
+        """Device copy of the padded table (caller holds ``_mu``);
+        rebuilt from the mirror only after a capacity doubling — one
+        full-table upload per O(log N) growth events."""
+        if (self._db_dev is None
+                or self._db_dev.shape[0] != len(self._db)):
+            self._db_dev = jax.device_put(self._db)
+        return self._db_dev
+
+    def _append_row(self, vec: np.ndarray) -> int:
+        """Append one row to mirror + device table (caller holds _mu)."""
+        if self.n == len(self._db):
+            grown = np.zeros((2 * len(self._db), self.n_words),
+                             np.float32)
+            grown[: self.n] = self._db
+            self._db = grown
+            self._db_dev = None  # re-uploaded (with the new row) below
+        self._db[self.n] = vec
+        dev = self._ensure_dev()
+        self._db_dev = _db_set_row(dev, jnp.int32(self.n),
+                                   jnp.asarray(vec, jnp.float32))
+        self.n += 1
+        return self.n - 1
+
     def add_vector(self, vec: np.ndarray) -> int:
         """Append a PRE-QUANTIZED place vector (e.g. computed inside the
         fused serve+track dispatch, ``runtime/fused.py``) — a keyframe
-        ingest then costs zero device round trips here."""
+        ingest then costs one 1 KB upload here, never a quantize
+        dispatch."""
         with self._mu:
-            if self.n == len(self._db):
-                grown = np.zeros((2 * len(self._db), self.n_words),
-                                 np.float32)
-                grown[: self.n] = self._db
-                self._db = grown
-            self._db[self.n] = vec
-            self.n += 1
-            return self.n - 1
+            return self._append_row(np.asarray(vec, np.float32))
 
     def add_zero(self) -> int:
         """Append an inert (zero) row — keeps row/keyframe index
         alignment when restoring a checkpoint whose old keyframes were
         feature-culled (models/slam.py _cull_history)."""
         with self._mu:
-            if self.n == len(self._db):
-                grown = np.zeros((2 * len(self._db), self.n_words),
-                                 np.float32)
-                grown[: self.n] = self._db
-                self._db = grown
-            self._db[self.n] = 0.0
-            self.n += 1
-            return self.n - 1
+            return self._append_row(np.zeros(self.n_words, np.float32))
 
     def disable(self, idx: int) -> None:
         """Retire a stored keyframe: zero its row so it scores 0 against
@@ -123,6 +150,10 @@ class BowIndex:
         with self._mu:
             if 0 <= idx < self.n:
                 self._db[idx] = 0.0
+                if self._db_dev is not None:
+                    self._db_dev = _db_set_row(
+                        self._db_dev, jnp.int32(idx),
+                        jnp.zeros(self.n_words, jnp.float32))
 
     def warmup(self, n_desc: int) -> int:
         """Compile the quantize matmul and the score matvec for the
@@ -134,9 +165,11 @@ class BowIndex:
         valid = jnp.zeros((n_desc,), bool)
         q = _bow_vector(desc, valid, self.words)
         with self._mu:
-            db = self._db
-        jax.block_until_ready(_scores(jnp.asarray(db), q, 0))
-        return 2
+            db = self._ensure_dev()
+        jax.block_until_ready(_scores(db, q, 0))
+        jax.block_until_ready(_db_set_row(
+            db, jnp.int32(0), jnp.zeros(self.n_words, jnp.float32)))
+        return 3
 
     def query(self, desc, valid, *, top_k: int = 3,
               min_score: float = 0.0, before: int | None = None):
@@ -152,15 +185,18 @@ class BowIndex:
     def query_vector(self, vec, *, top_k: int = 3,
                      min_score: float = 0.0, before: int | None = None):
         """Top-k retrieval for a PRE-QUANTIZED place vector (same
-        contract as :meth:`query`; skips the quantize dispatch)."""
+        contract as :meth:`query`; skips the quantize dispatch). Scores
+        against the DEVICE-resident table — the query costs one 1 KB
+        vector upload and one score fetch, independent of history
+        length."""
         with self._mu:
             n = self.n if before is None else min(before, self.n)
-            db = self._db    # snapshot ref: rows are append-only and a
-            #                  growth swap replaces the buffer wholesale
+            db = self._ensure_dev()  # snapshot ref: replaced, never
+            #                          mutated, so lock-free to read
         if n <= 0:
             return []
         s = np.asarray(
-            _scores(jnp.asarray(db), jnp.asarray(vec), n)
+            _scores(db, jnp.asarray(vec, jnp.float32), n)
         )[:n]
         order = np.argsort(-s)[:top_k]
         return [(int(i), float(s[i])) for i in order
