@@ -105,6 +105,11 @@ def main(argv=None):
                          "--serial left=/dev/ttyUSB0@921600; the live "
                          "transport of the reference's cameras "
                          "(pkg/camera/serial.go)")
+    ap.add_argument("--dedup-uploads", action="store_true",
+                    help="skip byte-identical consecutive stereo pairs "
+                         "before upload (paused/static feeds; also "
+                         "works around the dev tunnel's per-upload "
+                         "host-memory retention, see BENCH.md)")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile the current parameter bucket in the "
                          "background at startup (hides first-frame "
@@ -164,7 +169,8 @@ def main(argv=None):
                              preview_scale=args.preview_scale,
                              host_colorize=args.host_colorize,
                              slam_pipeline=slam_pipeline,
-                             fuse_slam=args.slam_fused)
+                             fuse_slam=args.slam_fused,
+                             dedup_uploads=args.dedup_uploads)
 
     rigs = {}
     for spec in args.rig:

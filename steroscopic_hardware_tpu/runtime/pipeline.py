@@ -45,7 +45,7 @@ class DepthPipeline:
                  rectifier=None, depth_slot="depth", max_batch: int = 8,
                  preview_scale: int = 1, host_colorize: bool = True,
                  max_queue: int | None = None, slam_pipeline=None,
-                 fuse_slam: bool = True):
+                 fuse_slam: bool = True, dedup_uploads: bool = False):
         self.bus = bus
         self.matcher = matcher or BlockMatcher()
         self.max_batch = max_batch
@@ -113,6 +113,17 @@ class DepthPipeline:
         self.errors = 0
         self.dropped = 0        # coalesced in light mode / batch-trimmed
         self.queue_dropped = 0  # overwritten in the capped inbox
+        # opt-in: skip byte-identical consecutive pairs before upload.
+        # A paused/static camera re-publishes the same frame at tick
+        # rate; uploading it again buys nothing and — through the axon
+        # dev tunnel — every uploaded byte is RETAINED host-side by the
+        # transport client (~5 MB leaked per 4.8 MB batch; see
+        # tools/leak_probe.py and BENCH.md "upload retention"). Off by
+        # default: live cameras never produce identical frames, and the
+        # serving benchmark intentionally measures full upload load.
+        self.dedup_uploads = dedup_uploads
+        self.dup_skipped = 0
+        self._last_pair_crc: int | None = None
         self._busy_since: float | None = None
 
     def start(self):
@@ -314,6 +325,15 @@ class DepthPipeline:
             pair = self._frames_in()
             if pair is None:
                 continue
+            if self.dedup_uploads:
+                import zlib
+
+                crc = (zlib.crc32(pair[0].tobytes())
+                       ^ (zlib.crc32(pair[1].tobytes()) << 1))
+                if crc == self._last_pair_crc:
+                    self.dup_skipped += 1
+                    continue
+                self._last_pair_crc = crc
             with lock:
                 if len(buf) == buf.maxlen:
                     # drop-OLDEST at the queue cap: backlog becomes a
@@ -403,6 +423,7 @@ class DepthPipeline:
             "errors": self.errors,
             "dropped": self.dropped,
             "queue_dropped": self.queue_dropped,
+            "dup_skipped": self.dup_skipped,
             "state": self._state(),
             "fps": round(float(fps), 2),
             "ms_mean": round(float(arr.mean()) * 1000, 2),

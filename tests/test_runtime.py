@@ -493,3 +493,38 @@ def test_pipeline_latency_decomposition_and_queue_cap(rng):
     finally:
         pipe.close()
         mgr.close_all()
+
+
+def test_dedup_uploads_skips_identical_pairs():
+    """--dedup-uploads: byte-identical consecutive pairs never reach
+    the compute batch (paused/static feeds; also the dev-tunnel
+    upload-retention mitigation — see tools/leak_probe.py)."""
+    import numpy as np
+    import time
+
+    from steroscopic_hardware_tpu.models.blockmatch import BlockMatcher
+    from steroscopic_hardware_tpu.runtime.bus import FrameBus
+    from steroscopic_hardware_tpu.runtime.pipeline import DepthPipeline
+    from steroscopic_hardware_tpu.runtime.sources import StaticSource
+
+    bus = FrameBus()
+    frame = np.random.default_rng(0).integers(
+        0, 256, (64, 96), np.uint8)
+    m = BlockMatcher()
+    m.set_params(type(m.get_params())(block_size=7, max_disparity=16))
+    pipe = DepthPipeline(bus, m, colorize=False, dedup_uploads=True)
+    left = StaticSource(bus, "left", frame, fps=60.0).start()
+    right = StaticSource(bus, "right", frame, fps=60.0).start()
+    pipe.start()
+    try:
+        deadline = time.time() + 30.0
+        while time.time() < deadline and pipe.frames < 1:
+            time.sleep(0.05)
+        assert pipe.frames >= 1  # the first distinct pair computes
+        time.sleep(1.0)
+        assert pipe.dup_skipped > 10  # the re-published clones do not
+        assert pipe.frames <= 3
+    finally:
+        left.close()
+        right.close()
+        pipe.close()

@@ -59,6 +59,7 @@ def main():
     env = os.environ.copy()
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     extra = [a for a in args.extra_args.split(",") if a]
+    with_slam = "--slam" in extra
     proc = subprocess.Popen(
         [sys.executable, "-m", "steroscopic_hardware_tpu",
          "--port", str(PORT), "--no-open", "--fps", "60"] + extra,
@@ -70,9 +71,12 @@ def main():
         while time.time() < deadline:
             try:
                 m = fetch_json("/metrics")
+                if m["pipeline"]["frames"] < 5:
+                    raise ValueError("not yet")
+                if not with_slam:
+                    break
                 s = fetch_json("/slam")
-                if (m["pipeline"]["frames"] >= 5
-                        and s.get("frames", 0) >= 2 and s.get("warm")):
+                if s.get("frames", 0) >= 2 and s.get("warm"):
                     break
             except Exception:
                 pass
@@ -87,7 +91,7 @@ def main():
             time.sleep(args.interval)
             try:
                 m = fetch_json("/metrics")["pipeline"]
-                s = fetch_json("/slam")
+                s = fetch_json("/slam") if with_slam else {}
             except Exception as e:
                 samples.append({"t": round(time.time() - t_start, 1),
                                 "error": str(e)})
