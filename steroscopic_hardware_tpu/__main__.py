@@ -50,6 +50,11 @@ def main(argv=None):
     )
     ap.add_argument("--slam", action="store_true",
                     help="run live stereo SLAM; trajectory at GET /slam")
+    ap.add_argument("--slam-frontend", default="sad",
+                    choices=["sad", "sgm", "sgm_half"],
+                    help="SLAM tracking front-end: sad (fastest), sgm "
+                         "(census quality), sgm_half (pyramid census — "
+                         "real-time at 1080p, see BENCH.md)")
     ap.add_argument("--no-slam-fused", dest="slam_fused",
                     action="store_false", default=True,
                     help="disable the fused serve+track dispatch and run "
@@ -159,7 +164,8 @@ def main(argv=None):
         slam_pipeline = SlamPipeline(
             manager.bus, cam, checkpoint_dir=args.slam_checkpoint_dir,
             rectifier=rectifier,
-            slam_kwargs={"loop_closure": args.loop_closure})
+            slam_kwargs={"loop_closure": args.loop_closure,
+                         "frontend": args.slam_frontend})
 
     # fused serve+track (default when --slam): the depth serve batch
     # tracks the newest pair in the SAME dispatch — one upload + one

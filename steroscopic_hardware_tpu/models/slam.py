@@ -81,15 +81,46 @@ def _frame_frontend(left, right, *, block_size, max_disparity,
     neighborhood, so per-eye photometric gain/offset mismatch (auto-
     exposure drift between the two cameras) leaves the cost volume
     unchanged where it corrupts SAD — the quality mode for uncontrolled
-    lighting (see tests/test_slam.py photometric suite)."""
-    if frontend == "sgm":
+    lighting (see tests/test_slam.py photometric suite).
+
+    ``frontend="sgm_half"`` is the PYRAMID quality mode: census+SGM at
+    half resolution (~4x less aggregation work, and half the disparity
+    range covers the same depth envelope), disparities upsampled 2x for
+    keypoint sampling. Full-HD SGM tracking misses real time (46 ms =
+    22 fps, BENCH.md); the half-res pyramid keeps census's photometric
+    robustness at a VGA-class aggregation cost. Features still detect
+    at FULL resolution — only the disparity source is pyramidal — so
+    corner accuracy is unchanged and depth quantization doubles (which
+    windowed BA then refines)."""
+    if frontend in ("sgm", "sgm_half"):
         from steroscopic_hardware_tpu.ops.sgm import sgm_disparity_lr
 
-        dL, dR = sgm_disparity_lr(
-            left, right, max_disparity=max_disparity, subpixel=True,
-            backend="pallas" if use_pallas else "xla",
-        )
-        dR = dR.astype(jnp.float32)
+        if frontend == "sgm_half":
+            from steroscopic_hardware_tpu.ops.colorize import (
+                downscale_u8_jax,
+            )
+
+            lh = downscale_u8_jax(left, 2)
+            rh = downscale_u8_jax(right, 2)
+            dLh, dRh = sgm_disparity_lr(
+                lh, rh, max_disparity=max(16, max_disparity // 2),
+                subpixel=True,
+                backend="pallas" if use_pallas else "xla",
+            )
+
+            def up2(d, H, W):
+                return jnp.repeat(jnp.repeat(d * 2.0, 2, 0), 2, 1)[
+                    :H, :W]
+
+            H, W = left.shape
+            dL = up2(dLh.astype(jnp.float32), H, W)
+            dR = up2(dRh.astype(jnp.float32), H, W)
+        else:
+            dL, dR = sgm_disparity_lr(
+                left, right, max_disparity=max_disparity, subpixel=True,
+                backend="pallas" if use_pallas else "xla",
+            )
+            dR = dR.astype(jnp.float32)
     elif use_pallas:
         from steroscopic_hardware_tpu.ops.sad_pallas import (
             disparity_pallas_subpixel,
@@ -117,7 +148,10 @@ def _frame_frontend(left, right, *, block_size, max_disparity,
     xr = jnp.clip(
         xy[:, 0] - jnp.round(d_at).astype(jnp.int32), 0, W - 1
     )
-    lr_ok = jnp.abs(d_at - dR[xy[:, 1], xr]) <= 1.0
+    # pyramid disparities are 2x-quantized before subpixel, so the LR
+    # consistency gate gets a proportionally wider tolerance
+    lr_tol = 2.0 if frontend == "sgm_half" else 1.0
+    lr_ok = jnp.abs(d_at - dR[xy[:, 1], xr]) <= lr_tol
     fx, fy, cx, cy = intr
     pts, ok = triangulate_stereo(
         feats["xy_sub"], d_at, fx, fy, cx, cy, baseline
@@ -184,7 +218,7 @@ class StereoVO:
     def __init__(self, camera: StereoCamera, *, block_size=7,
                  max_disparity=64, max_keypoints=256, fast_threshold=20,
                  min_pnp_inliers=12, seed=0, frontend="sad"):
-        if frontend not in ("sad", "sgm"):
+        if frontend not in ("sad", "sgm", "sgm_half"):
             raise ValueError(f"unknown frontend {frontend!r}")
         self.cam = camera
         self.frontend = frontend

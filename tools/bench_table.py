@@ -271,6 +271,10 @@ def main():
         slam_fn(1080, 1920, 64, "sad"), 8)
     run("1920x1080 SLAM track SGM d64 (frontend+match+PnP)",
         slam_fn(1080, 1920, 64, "sgm"), 4)
+    run("1920x1080 SLAM track SGMhalf d64 (pyramid census frontend)",
+        slam_fn(1080, 1920, 64, "sgm_half"), 8)
+    run("640x480 SLAM track SGMhalf d64 (pyramid census frontend)",
+        slam_fn(480, 640, 64, "sgm_half"), 12)
 
     if args.json:
         with open(args.json, "w") as f:
