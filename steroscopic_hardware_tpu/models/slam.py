@@ -23,7 +23,11 @@ from steroscopic_hardware_tpu.models.ba import BAProblem, ba_solve
 from steroscopic_hardware_tpu.models.vo import pnp_ransac, triangulate_stereo
 from steroscopic_hardware_tpu.ops import se3, se3_np
 from steroscopic_hardware_tpu.ops.features import detect_and_describe
-from steroscopic_hardware_tpu.ops.matching import match
+from steroscopic_hardware_tpu.ops.matching import (
+    match,
+    match_batch,
+    match_one_to_many,
+)
 from steroscopic_hardware_tpu.utils.devlock import device_lock, dispatch
 
 
@@ -866,13 +870,22 @@ class StereoSLAM:
         key = jax.random.PRNGKey(0)
         n = 0
         with dispatch("sporadic"):
-            # match: loop-closure verification + window-BA variants
-            jax.block_until_ready(match(desc, desc, valid, valid,
-                                        ratio=0.85, max_distance=60.0))
-            n += 1
-            jax.block_until_ready(match(desc, desc, valid, valid,
-                                        ratio=0.9, max_distance=80.0))
-            n += 1
+            # batched match: loop-closure verification (1..top_k
+            # candidates) + window-BA builds (1..window-1 keyframes) —
+            # each batch size is its own program
+            for B in sorted({1 << i for i in range(
+                    max(1, (self.loop_top_k - 1).bit_length() + 1))}):
+                jax.block_until_ready(match_batch(
+                    jnp.zeros((B, K, 256), jnp.uint8), desc,
+                    jnp.zeros((B, K), bool), valid,
+                    ratio=0.85, max_distance=60.0))
+                n += 1
+            for B in range(1, self.window):
+                jax.block_until_ready(match_one_to_many(
+                    desc, jnp.zeros((B, K, 256), jnp.uint8),
+                    valid, jnp.zeros((B, K), bool),
+                    ratio=0.9, max_distance=80.0))
+                n += 1
             # loop-closure RANSAC PnP
             jax.block_until_ready(pnp_ransac(
                 pts, uv, valid, self.cam.intr, key, n_hypotheses=32))
@@ -951,27 +964,45 @@ class StereoSLAM:
             candidates = [j for j, _score in found]
         else:
             candidates = range(0, cur_idx - self.loop_gap)
-        best = None
+        # snapshot candidate feature fields ONCE (a concurrent
+        # _cull_history may null them between reads; attribute reads are
+        # atomic and the snapshots stay alive here), then verify ALL
+        # candidates in ONE batched dispatch — k serialized matches
+        # starve the backend behind heavy serve RPCs (ops/matching.py
+        # match_batch)
+        cands = []
         for j in candidates:
             old, _ = hist[j]
-            # snapshot the feature fields ONCE: a concurrent
-            # _cull_history may null them between reads (attribute reads
-            # are atomic; the snapshot stays alive here)
             od, ov, opts, opok = (old.desc, old.valid,
                                   old.pts_cam, old.pts_ok)
             if od is None:
                 continue  # features culled (see _cull_history)
-            with dispatch("sporadic"):
-                idx, good = match(
-                    jnp.asarray(od), jnp.asarray(cur.desc),
-                    jnp.asarray(ov), jnp.asarray(cur.valid),
-                    ratio=0.85, max_distance=60.0,
-                )
-                idx, good = np.asarray(idx), np.asarray(good)
-            good = good & opok
+            cands.append((j, od, ov, opts, opok))
+        if not cands:
+            return
+        # power-of-two candidate bucket: padded rows carry valid=False
+        # (good all-false, never selected), so exhaustive retrieval
+        # compiles O(log N) programs instead of one per history length
+        Bp = 1 << (len(cands) - 1).bit_length()
+        descs = np.stack([c[1] for c in cands]
+                         + [np.zeros_like(cands[0][1])]
+                         * (Bp - len(cands)))
+        valids = np.stack([c[2] for c in cands]
+                          + [np.zeros_like(cands[0][2])]
+                          * (Bp - len(cands)))
+        with dispatch("sporadic"):
+            idx_b, good_b = match_batch(
+                jnp.asarray(descs), jnp.asarray(cur.desc),
+                jnp.asarray(valids), jnp.asarray(cur.valid),
+                ratio=0.85, max_distance=60.0,
+            )
+            idx_b, good_b = np.asarray(idx_b), np.asarray(good_b)
+        best = None
+        for k, (j, od, ov, opts, opok) in enumerate(cands):
+            good = good_b[k] & opok
             n = int(good.sum())
             if n >= self.loop_min_matches and (best is None or n > best[0]):
-                best = (n, j, np.asarray(idx), good, opts)
+                best = (n, j, idx_b[k], good, opts)
         if best is None:
             return
         n, j, idx, good, old_pts = best
@@ -1140,14 +1171,22 @@ class StereoSLAM:
             anchor.pts_cam[:, 2], 1e-6
         )
         mask_r[0] = mask[0]
-        for i, kf in enumerate(kfs[1:], start=1):
+        # anchor matched into every other window keyframe in ONE
+        # dispatch (M-1 serialized dispatches starve behind heavy serve
+        # RPCs on remote transports — ops/matching.py)
+        if M > 1:
             with dispatch("sporadic"):
-                idx, good = match(
-                    jnp.asarray(anchor.desc), jnp.asarray(kf.desc),
-                    jnp.asarray(anchor.valid), jnp.asarray(kf.valid),
+                idx_all, good_all = match_one_to_many(
+                    jnp.asarray(anchor.desc),
+                    jnp.asarray(np.stack([kf.desc for kf in kfs[1:]])),
+                    jnp.asarray(anchor.valid),
+                    jnp.asarray(np.stack([kf.valid for kf in kfs[1:]])),
                     ratio=0.9, max_distance=80.0,
                 )
-                idx, good = np.asarray(idx), np.asarray(good)
+                idx_all = np.asarray(idx_all)
+                good_all = np.asarray(good_all)
+        for i, kf in enumerate(kfs[1:], start=1):
+            idx, good = idx_all[i - 1], good_all[i - 1]
             good = good & anchor.pts_ok
             uv[i] = kf.xy_sub[idx].astype(np.float32)
             mask[i] = good.astype(np.float32)

@@ -78,3 +78,50 @@ def match(
     if valid_a is not None:
         good = good & valid_a
     return best_b, good
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "max_distance"))
+def match_batch(
+    descs_a,
+    desc_b,
+    valids_a,
+    valid_b,
+    *,
+    ratio: float = 0.8,
+    max_distance: float = 64.0,
+):
+    """Match B query sets against ONE target set in a single dispatch:
+    descs_a (B, Ka, n_bits), valids_a (B, Ka). Returns
+    (idx (B, Ka) into b, good (B, Ka)) — bitwise identical to B
+    separate ``match(a_i, b)`` calls. Exists for dispatch economy on
+    remote transports: a loop-closure check verifies top-k retrieved
+    candidate keyframes against the current one, and k serialized
+    ~RTT-bound dispatches starve the backend behind heavy serve RPCs
+    (observed: the round-5 matrix's slam-sgm row closed zero loops
+    in-window while its checks queued behind ~500 ms SGM serve
+    windows)."""
+    return jax.vmap(
+        lambda da, va: match(da, desc_b, va, valid_b, ratio=ratio,
+                             max_distance=max_distance)
+    )(descs_a, valids_a)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "max_distance"))
+def match_one_to_many(
+    desc_a,
+    descs_b,
+    valid_a,
+    valids_b,
+    *,
+    ratio: float = 0.8,
+    max_distance: float = 64.0,
+):
+    """Match ONE query set against B target sets in a single dispatch:
+    descs_b (B, Kb, n_bits). Returns (idx (B, Ka) into each b_i,
+    good (B, Ka)) — bitwise identical to B separate ``match(a, b_i)``
+    calls. Used by the BA window build (anchor matched into every other
+    window keyframe: M-1 dispatches become one)."""
+    return jax.vmap(
+        lambda db, vb: match(desc_a, db, valid_a, vb, ratio=ratio,
+                             max_distance=max_distance)
+    )(descs_b, valids_b)

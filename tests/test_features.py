@@ -148,3 +148,40 @@ def test_fast_subpixel_within_half_pixel():
                          np.asarray(valid))
     d = np.abs(xy_sub - xy.astype(np.float32))[valid]
     assert (d <= 0.5 + 1e-6).all()
+
+
+def test_match_batch_variants_bitexact(rng):
+    """match_batch / match_one_to_many == per-pair match, bitwise (the
+    dispatch-economy forms used by loop closure and the BA window)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from steroscopic_hardware_tpu.ops.matching import (
+        match,
+        match_batch,
+        match_one_to_many,
+    )
+
+    K = 64
+    descs = rng.integers(0, 2, (4, K, 256)).astype(np.uint8)
+    valids = rng.random((4, K)) < 0.8
+    q_desc, q_valid = descs[0], valids[0]
+
+    ib, gb = match_batch(jnp.asarray(descs[1:]), jnp.asarray(q_desc),
+                         jnp.asarray(valids[1:]), jnp.asarray(q_valid),
+                         ratio=0.85, max_distance=60.0)
+    io, go = match_one_to_many(
+        jnp.asarray(q_desc), jnp.asarray(descs[1:]),
+        jnp.asarray(q_valid), jnp.asarray(valids[1:]),
+        ratio=0.9, max_distance=80.0)
+    for i in range(3):
+        ri, rg = match(jnp.asarray(descs[1 + i]), jnp.asarray(q_desc),
+                       jnp.asarray(valids[1 + i]), jnp.asarray(q_valid),
+                       ratio=0.85, max_distance=60.0)
+        np.testing.assert_array_equal(np.asarray(ib[i]), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(gb[i]), np.asarray(rg))
+        ri, rg = match(jnp.asarray(q_desc), jnp.asarray(descs[1 + i]),
+                       jnp.asarray(q_valid), jnp.asarray(valids[1 + i]),
+                       ratio=0.9, max_distance=80.0)
+        np.testing.assert_array_equal(np.asarray(io[i]), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(go[i]), np.asarray(rg))
