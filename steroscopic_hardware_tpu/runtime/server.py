@@ -103,7 +103,54 @@ setInterval(async()=>{
 <figure><img id="left"><figcaption>left</figcaption></figure>
 <figure><img id="right"><figcaption>right</figcaption></figure>
 <figure><img id="out"><figcaption>depth</figcaption></figure>
+<figure id="slamfig" style="display:none">
+ <canvas id="slamcv" width="320" height="240"
+  style="border:1px solid #333;background:#000"></canvas>
+ <figcaption>trajectory <span id="slamstats" class="meta"></span>
+ </figcaption>
+</figure>
 </div>
+<script>
+// live SLAM trajectory (top-down x/z), drawn from GET /slam — the
+// product surface for the north-star SLAM capability
+async function drawSlam(){
+ try{
+  const TOK=new URLSearchParams(location.search).get('token');
+  const Q=TOK?'?token='+encodeURIComponent(TOK):'';
+  const r=await fetch('/slam'+Q);
+  if(r.status!=200)return;
+  const d=await r.json();
+  if(!d.enabled)return;
+  document.getElementById('slamfig').style.display='';
+  document.getElementById('slamstats').textContent=
+   `${d.positions_total??d.positions.length} poses · `+
+   `${d.keyframes} kf · ${d.loops_closed} loops`+
+   (d.warm?'':' · warming');
+  const cv=document.getElementById('slamcv'),
+        g=cv.getContext('2d');
+  g.fillStyle='#000';g.fillRect(0,0,cv.width,cv.height);
+  const P=d.positions;if(!P||P.length<2)return;
+  let xs=P.map(p=>p[0]),zs=P.map(p=>p[2]);
+  const x0=Math.min(...xs),x1=Math.max(...xs),
+        z0=Math.min(...zs),z1=Math.max(...zs);
+  const s=0.9*Math.min(cv.width/Math.max(x1-x0,1e-6),
+                       cv.height/Math.max(z1-z0,1e-6));
+  const mx=(cv.width-s*(x1-x0))/2,mz=(cv.height-s*(z1-z0))/2;
+  g.strokeStyle='#6d6';g.beginPath();
+  for(let i=0;i<P.length;i++){
+   const x=mx+s*(P[i][0]-x0),y=cv.height-(mz+s*(P[i][2]-z0));
+   i?g.lineTo(x,y):g.moveTo(x,y);
+  }
+  g.stroke();
+  const last=P[P.length-1];
+  g.fillStyle='#e66';
+  g.beginPath();
+  g.arc(mx+s*(last[0]-x0),cv.height-(mz+s*(last[2]-z0)),3,0,7);
+  g.fill();
+ }catch(e){}
+}
+setInterval(drawSlam,1000);drawSlam();
+</script>
 <script>
 // propagate ?token= into every stream/API URL when auth is enabled
 const TOK=new URLSearchParams(location.search).get('token');

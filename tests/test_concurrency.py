@@ -114,3 +114,76 @@ def test_stale_source_detection():
     time.sleep(0.25)
     assert mgr.status(stale_after=0.2)["left"]["stale"] is True
     mgr.close_all()
+
+
+def test_dispatch_lock_policy_and_classes():
+    """devlock: env-forced policy resolution, the two dispatch classes
+    (stream serializes iff policy on; sporadic NEVER blocks), and
+    re-arming auto-detection."""
+    import threading
+    import time
+
+    from steroscopic_hardware_tpu.utils import devlock
+
+    lock = devlock.device_lock
+    old = lock._serialize
+    try:
+        lock.force(True)
+        assert lock.serialize is True
+        # stream dispatch serializes: a holder blocks a second stream
+        entered = threading.Event()
+        release = threading.Event()
+
+        def holder():
+            with devlock.dispatch("stream"):
+                entered.set()
+                release.wait(5.0)
+
+        t = threading.Thread(target=holder, daemon=True)
+        t.start()
+        assert entered.wait(2.0)
+        # sporadic NEVER waits on the stream lock
+        t0 = time.monotonic()
+        with devlock.dispatch("sporadic"):
+            pass
+        assert time.monotonic() - t0 < 0.5
+        # a second stream would block; probe with a timed thread
+        got = threading.Event()
+
+        def second():
+            with devlock.dispatch("stream"):
+                got.set()
+
+        t2 = threading.Thread(target=second, daemon=True)
+        t2.start()
+        assert not got.wait(0.3)  # blocked behind the holder
+        release.set()
+        assert got.wait(2.0)
+
+        lock.force(False)
+        assert lock.serialize is False
+        # with serialization off, streams overlap freely
+        release2 = threading.Event()
+        entered2 = threading.Event()
+
+        def holder2():
+            with devlock.dispatch("stream"):
+                entered2.set()
+                release2.wait(5.0)
+
+        t3 = threading.Thread(target=holder2, daemon=True)
+        t3.start()
+        assert entered2.wait(2.0)
+        t0 = time.monotonic()
+        with devlock.dispatch("stream"):
+            pass
+        assert time.monotonic() - t0 < 0.5
+        release2.set()
+
+        try:
+            devlock.dispatch("bogus").__enter__()
+            raise AssertionError("bogus kind accepted")
+        except ValueError:
+            pass
+    finally:
+        lock.force(old)
