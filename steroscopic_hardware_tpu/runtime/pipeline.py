@@ -517,7 +517,8 @@ class SlamPipeline:
                 def _warm():
                     try:
                         t0 = time.time()
-                        n = self.slam.warmup_backend()
+                        n = self.slam.warmup_backend(
+                            should_stop=self._closed.is_set)
                         self.log.info(
                             "backend warmup: %d programs in %.1fs",
                             n, time.time() - t0)
@@ -525,8 +526,9 @@ class SlamPipeline:
                     except Exception as e:
                         self.log.warning("backend warmup failed: %s", e)
 
-                threading.Thread(target=_warm, daemon=True,
-                                 name="slam-warmup").start()
+                self._warm_thread = threading.Thread(
+                    target=_warm, daemon=True, name="slam-warmup")
+                self._warm_thread.start()
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
         return self
@@ -535,6 +537,13 @@ class SlamPipeline:
         self._closed.set()
         if self._thread is not None:
             self._thread.join(timeout)
+        # join the warmup thread through at most one in-flight program:
+        # a daemon thread killed mid-compile at interpreter exit escapes
+        # a C++ exception and ABORTS the process (observed as SIGABRT
+        # after a green pytest summary)
+        warm = getattr(self, "_warm_thread", None)
+        if warm is not None:
+            warm.join(120.0)
         if hasattr(self.slam, "close"):
             self.slam.close()
 
