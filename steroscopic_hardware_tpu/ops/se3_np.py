@@ -63,3 +63,34 @@ def positions(xis: np.ndarray) -> np.ndarray:
     R, t = se3_exp(np.asarray(xis, np.float32))
     _, ti = inverse(R, t)
     return np.asarray(ti)
+
+
+def quaternions(xis: np.ndarray) -> np.ndarray:
+    """(N, 4) [qx, qy, qz, qw] unit quaternions of the CAMERA-to-world
+    rotations for a batch of world->camera twists — the orientation
+    convention of the TUM trajectory format (``GET /slam/trajectory``).
+    Shepperd's method (max-component selection) for numerical safety."""
+    R, t = se3_exp(np.asarray(xis, np.float32))
+    Rcw, _ = inverse(R, t)              # camera-to-world
+    m = np.asarray(Rcw, np.float64)
+    N = m.shape[0]
+    q = np.empty((N, 4))
+    tr = m[:, 0, 0] + m[:, 1, 1] + m[:, 2, 2]
+    for i in range(N):
+        M = m[i]
+        if tr[i] > 0:
+            s = np.sqrt(tr[i] + 1.0) * 2
+            q[i] = [(M[2, 1] - M[1, 2]) / s, (M[0, 2] - M[2, 0]) / s,
+                    (M[1, 0] - M[0, 1]) / s, 0.25 * s]
+        else:
+            k = int(np.argmax([M[0, 0], M[1, 1], M[2, 2]]))
+            a, b, c = k, (k + 1) % 3, (k + 2) % 3
+            s = np.sqrt(M[a, a] - M[b, b] - M[c, c] + 1.0) * 2
+            v = np.empty(4)
+            v[a] = 0.25 * s
+            v[b] = (M[b, a] + M[a, b]) / s
+            v[c] = (M[c, a] + M[a, c]) / s
+            v[3] = (M[c, b] - M[b, c]) / s
+            q[i] = v
+    return (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(
+        np.float32)

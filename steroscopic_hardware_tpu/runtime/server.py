@@ -436,6 +436,36 @@ def _make_handler(ctx: AppContext):
                     self._json(
                         {"enabled": True, **ctx.slam_pipeline.snapshot()}
                     )
+            elif path == "/slam/trajectory":
+                # FULL trajectory export for offline evaluation tooling:
+                # TUM format (index tx ty tz qx qy qz qw per line,
+                # camera-to-world) by default, ?format=json for raw
+                # twists. /slam itself serves only a bounded tail.
+                if ctx.slam_pipeline is None:
+                    self._json({"enabled": False}, code=404)
+                    return
+                import numpy as np  # noqa: F811
+
+                from steroscopic_hardware_tpu.ops import se3_np
+
+                vo = ctx.slam_pipeline.slam.vo
+                with vo.pose_lock:
+                    xis = (np.stack(vo.trajectory)
+                           if vo.trajectory else np.zeros((0, 6)))
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query)
+                if q.get("format", ["tum"])[0] == "json":
+                    self._json({"xi": xis.tolist()})
+                    return
+                pos = se3_np.positions(xis) if len(xis) else xis
+                quat = se3_np.quaternions(xis) if len(xis) else xis
+                lines = [
+                    f"{i} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{r[0]:.6f} {r[1]:.6f} {r[2]:.6f} {r[3]:.6f}"
+                    for i, (p, r) in enumerate(zip(pos, quat))
+                ]
+                self._send(200, ("\n".join(lines) + "\n").encode(),
+                           "text/plain; charset=utf-8")
             elif path == "/exit":
                 self._send(200, shlog.dump_buffer())
             elif path == "/ports":

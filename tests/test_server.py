@@ -305,3 +305,60 @@ def test_hx_request_serves_fragments(server):
     json.loads(body)
     _, page, _ = _get(server + "/live")
     assert b"<html" in page
+
+
+def test_slam_trajectory_export_tum_and_json():
+    """GET /slam/trajectory serves the FULL trajectory as TUM lines
+    (idx tx ty tz qx qy qz qw, camera-to-world) and as raw twists with
+    ?format=json — the offline-evaluation export surface."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from steroscopic_hardware_tpu.models.slam import StereoCamera
+    from steroscopic_hardware_tpu.runtime.manager import CameraManager
+    from steroscopic_hardware_tpu.runtime.pipeline import (
+        DepthPipeline,
+        SlamPipeline,
+    )
+    from steroscopic_hardware_tpu.runtime.server import AppContext, Server
+
+    manager = CameraManager()
+    cam = StereoCamera(fx=240.0, fy=240.0, cx=160.0, cy=120.0,
+                       baseline=0.4)
+    slam_pipe = SlamPipeline(manager.bus, cam)
+    # hand-plant a small trajectory (no live compute needed)
+    slam_pipe.slam.vo.trajectory = [
+        np.array([0, 0, 0, 0, 0, 0], np.float32),
+        np.array([0.1, 0, 0, 0, 0.05, 0], np.float32),
+        np.array([0.2, 0, 0.1, 0.02, 0.1, 0], np.float32),
+    ]
+    ctx = AppContext(manager=manager,
+                     pipeline=DepthPipeline(manager.bus, colorize=False),
+                     slam_pipeline=slam_pipe)
+    server = Server(ctx, port=0)
+    # serve without starting the pipelines: the handler reads state only
+    import threading
+
+    t = threading.Thread(target=server.httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(base + "/slam/trajectory") as r:
+            lines = r.read().decode().strip().splitlines()
+        assert len(lines) == 3
+        first = lines[0].split()
+        assert len(first) == 8 and first[0] == "0"
+        # identity pose: zero translation, identity quaternion
+        vals = [float(v) for v in first[1:]]
+        np.testing.assert_allclose(vals[:3], [0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(vals[3:], [0, 0, 0, 1], atol=1e-6)
+
+        with urllib.request.urlopen(
+                base + "/slam/trajectory?format=json") as r:
+            d = json.loads(r.read())
+        assert np.asarray(d["xi"]).shape == (3, 6)
+    finally:
+        server.httpd.shutdown()
+        server.httpd.server_close()
