@@ -200,3 +200,25 @@ def test_backend_warmup_compiles(rng):
     n = slam.warmup_backend()
     # match x2, pnp, BA windows (M=2..4), pose-graph bucket, BoW x2
     assert n >= 8
+
+
+def test_fused_serve_sgm_engine_bitexact(rng):
+    """The fused dispatch with the SGM serve engine matches the unfused
+    SGMMatcher serve byte-for-byte (the slam-sgm product config)."""
+    from steroscopic_hardware_tpu.models.blockmatch import SGMMatcher
+
+    frames = _sequence(rng, n=2)
+    slam = StereoSLAM(CAM, async_backend=False, **VO_KW)
+    matcher = SGMMatcher()
+    matcher.set_params(
+        type(matcher.get_params())(block_size=7, max_disparity=32))
+    fused = FusedServeTrack(matcher, slam)
+    assert fused.engine == "sgm"
+    pairs = [frames[0], frames[1]]
+    flat, track = fused.step(pairs, fetch_all=True, colorize_dev=False)
+    depths, rgb = split_serve(flat, 2, H, W, fetch_all=True,
+                              colorize_dev=False)
+    ref = np.asarray(matcher.compute_serve_async(
+        pairs, fetch_all=True, colorize_dev=False))
+    np.testing.assert_array_equal(depths, ref)
+    assert track.xi_rel.shape == (2, 6)
