@@ -47,6 +47,12 @@ PORT = 8199
 H, W = 480, 640
 TESTDATA = "/root/reference/testdata"
 
+# per-config frame geometry; None = the VGA default
+SHAPES = {
+    "sad-1080p": (1080, 1920),
+    "slam-1080p": (1080, 1920),
+}
+
 CONFIGS = {
     # name: (extra server args, bytes-fetched-per-published-frame fn)
     "sad": ([], lambda B, k: H * W),
@@ -62,6 +68,18 @@ CONFIGS = {
     "slam": (["--slam", "--loop-closure"], lambda B, k: H * W),
     "slam-sgm": (["--slam", "--loop-closure", "--backend", "sgm"],
                  lambda B, k: H * W),
+    # full-HD capture parity: the reference's Zedboard streams
+    # 1920x1080 (camera_app.c); these rows serve the Middlebury-style
+    # 1080p testdata pair. Wire cost is 4.1 MB upload/frame, so the
+    # tunnel rows are bandwidth-bound far below the chip's 500 fps.
+    "sad-1080p": ([
+        "--left", f"{TESTDATA}/im0.png", "--right", f"{TESTDATA}/im1.png",
+    ], lambda B, k: 1080 * 1920),
+    "slam-1080p": ([
+        "--left", f"{TESTDATA}/im0.png", "--right", f"{TESTDATA}/im1.png",
+        "--slam", "--loop-closure", "--slam-frontend", "sgm_half",
+        "--cx", "960", "--cy", "540",
+    ], lambda B, k: 1080 * 1920),
     # two stereo rigs, one chip: the unnamed rig plus rig2 on its own
     # pipeline/params — N-rig sharing must not starve either rig
     "dual-rig": ([
@@ -127,6 +145,7 @@ def measure_bandwidth_hard(retries=3):
 
 def run_config(name, secs, warmup_s, compile_wait_s):
     args, fetch_bytes = CONFIGS[name]
+    h, w = SHAPES.get(name, (H, W))
     bw = measure_bandwidth_hard()
     if bw is None:
         return {"config": name,
@@ -179,7 +198,7 @@ def run_config(name, secs, warmup_s, compile_wait_s):
         dt = time.time() - t0
         df = m1["pipeline"]["frames"] - m0["pipeline"]["frames"]
         fps = df / dt
-        up = 2 * H * W
+        up = 2 * h * w
         down = fetch_bytes(8, 2)
         rec = {
             "config": name,
