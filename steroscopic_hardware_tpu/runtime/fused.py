@@ -190,6 +190,9 @@ class FusedServeTrack:
         self.engine = "sgm" if isinstance(matcher, SGMMatcher) else "sad"
         self._exes: dict[tuple, object] = {}
         self._aot_retry: dict[tuple, float] = {}
+        self._compiling: set = set()
+        self._last_key: tuple | None = None
+        self.stale_param_serves = 0
         self._prev_dev = None
         self._ctr = 0
         # the VO's own per-frame key stream: with one tracked frame per
@@ -241,23 +244,66 @@ class FusedServeTrack:
             colorize_dev=colorize_dev,
         )
 
+    def _exe_key(self, statics, example_args):
+        # keyed by statics AND input shapes: the micro-batch size is a
+        # SHAPE, and a compiled executable only accepts the shapes it
+        # was lowered for — keying on statics alone made a batch-size
+        # change evict a perfectly good executable and thrash
+        return (tuple(sorted(statics.items())),
+                tuple(example_args[0].shape))
+
+    def _bg_compile(self, statics, example_args, key):
+        try:
+            exe = _serve_track.lower(*example_args, **statics).compile()
+        except Exception:
+            self._aot_retry[key] = time.monotonic() + 30.0
+        else:
+            self._exes[key] = exe
+        finally:
+            self._compiling.discard(key)
+
     def _get_exe(self, statics, example_args):
-        """Per-statics AOT executable; compile runs OUTSIDE the stream
-        lock; a failed compile falls back to the jit path for this call
-        and retries later (same policy as StereoVO._aot)."""
-        key = tuple(sorted(statics.items()))
+        """Per-(statics, shape) AOT executable; compiles run OUTSIDE the
+        stream lock; a failed compile falls back to the jit path for
+        this call and retries later (same policy as StereoVO._aot).
+
+        Live retune without stalling: when the parameters change (new
+        statics) while a compiled variant for the SAME shapes exists,
+        the new program compiles in a BACKGROUND thread and serving
+        continues on the previous parameters until the swap — a slider
+        move must not freeze the depth stream for a ~30 s remote
+        compile. Frames served on outgoing parameters are counted in
+        ``stale_param_serves``."""
+        key = self._exe_key(statics, example_args)
         exe = self._exes.get(key)
         if exe is not None:
+            self._last_key = key
             return exe
         now = time.monotonic()
         if now < self._aot_retry.get(key, 0.0):
             return functools.partial(_serve_track, **statics)
+        last = self._last_key
+        if (last is not None and last in self._exes
+                and last[1] == key[1]):
+            # same shapes, different params: compile-and-swap
+            if key not in self._compiling:
+                self._compiling.add(key)
+                import threading
+
+                threading.Thread(
+                    target=self._bg_compile,
+                    args=(statics, example_args, key),
+                    daemon=True, name="fused-recompile",
+                ).start()
+            self.stale_param_serves += 1
+            return self._exes[last]
         try:
             exe = _serve_track.lower(*example_args, **statics).compile()
         except Exception:
             self._aot_retry[key] = now + 30.0
             return functools.partial(_serve_track, **statics)
         self._exes[key] = exe
+        self._last_key = key
         return exe
 
     def step(self, pairs, *, lr=False, preview_scale=1, fetch_all=True,
@@ -292,9 +338,9 @@ class FusedServeTrack:
                 flat_dev, feat_dev = exe(*args)
                 flat = np.asarray(flat_dev)
         except Exception:
-            # shape/spec change (e.g. a camera swapped resolutions):
+            # true spec change (e.g. a camera swapped resolutions):
             # drop the stale executable and recompile via jit
-            self._exes.pop(tuple(sorted(statics.items())), None)
+            self._exes.pop(self._exe_key(statics, args), None)
             with dispatch("stream"):
                 flat_dev, feat_dev = _serve_track(*args, **statics)
                 flat = np.asarray(flat_dev)

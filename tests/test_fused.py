@@ -222,3 +222,44 @@ def test_fused_serve_sgm_engine_bitexact(rng):
         pairs, fetch_all=True, colorize_dev=False))
     np.testing.assert_array_equal(depths, ref)
     assert track.xi_rel.shape == (2, 6)
+
+
+def test_fused_retune_compiles_in_background(rng):
+    """A live parameter retune must not stall the depth stream: the new
+    program compiles in the background while serving continues on the
+    outgoing parameters (counted), then swaps in."""
+    frames = _sequence(rng, n=2)
+    fused, matcher, slam = _mk(rng)
+    fused.step([frames[0]], fetch_all=True, colorize_dev=False)
+    n_exes = len(fused._exes)
+
+    matcher.set_params(
+        type(matcher.get_params())(block_size=9, max_disparity=32))
+    fused.step([frames[1]], fetch_all=True, colorize_dev=False)
+    assert fused.stale_param_serves >= 1  # served on outgoing params
+
+    deadline = time.time() + 90.0
+    while time.time() < deadline and len(fused._exes) <= n_exes:
+        time.sleep(0.2)
+    assert len(fused._exes) > n_exes, "background compile never landed"
+
+    flat, _ = fused.step([frames[1]], fetch_all=True,
+                         colorize_dev=False)
+    depths, _ = split_serve(flat, 1, H, W, fetch_all=True,
+                            colorize_dev=False)
+    ref = np.asarray(matcher.compute_serve_async(
+        [frames[1]], fetch_all=True, colorize_dev=False))
+    np.testing.assert_array_equal(depths, ref)
+
+
+def test_fused_exe_cache_keys_on_batch_shape(rng):
+    """Different batch sizes are different SHAPES: each gets its own
+    executable and none evicts another (regression: statics-only keying
+    thrashed the cache whenever B changed)."""
+    frames = _sequence(rng, n=4)
+    fused, matcher, slam = _mk(rng)
+    fused.step([frames[0]], fetch_all=True, colorize_dev=False)
+    fused.step([frames[1], frames[2]], fetch_all=True,
+               colorize_dev=False)
+    fused.step([frames[3]], fetch_all=True, colorize_dev=False)
+    assert len(fused._exes) == 2  # B=1 and B=2 coexist
