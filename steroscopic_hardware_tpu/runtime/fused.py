@@ -189,6 +189,7 @@ class FusedServeTrack:
         self.slam = slam
         self.engine = "sgm" if isinstance(matcher, SGMMatcher) else "sad"
         self._exes: dict[tuple, object] = {}
+        self._exe_statics: dict[tuple, dict] = {}
         self._aot_retry: dict[tuple, float] = {}
         self._compiling: set = set()
         self._last_key: tuple | None = None
@@ -244,6 +245,12 @@ class FusedServeTrack:
             colorize_dev=colorize_dev,
         )
 
+    @staticmethod
+    def _layout(statics):
+        """The statics that determine the packed buffer's layout."""
+        return (statics["preview_scale"], statics["fetch_all"],
+                statics["colorize_dev"])
+
     def _exe_key(self, statics, example_args):
         # keyed by statics AND input shapes: the micro-batch size is a
         # SHAPE, and a compiled executable only accepts the shapes it
@@ -259,6 +266,7 @@ class FusedServeTrack:
             self._aot_retry[key] = time.monotonic() + 30.0
         else:
             self._exes[key] = exe
+            self._exe_statics[key] = dict(statics)
         finally:
             self._compiling.discard(key)
 
@@ -284,8 +292,13 @@ class FusedServeTrack:
             return functools.partial(_serve_track, **statics)
         last = self._last_key
         if (last is not None and last in self._exes
-                and last[1] == key[1]):
-            # same shapes, different params: compile-and-swap
+                and last[1] == key[1]
+                and self._layout(self._exe_statics[last])
+                == self._layout(statics)):
+            # same shapes AND same fetch layout, different params
+            # (a block/disparity retune): compile-and-swap. A LAYOUT
+            # change (fetch mode flags) must never serve stale — the
+            # caller would misdecode the packed buffer.
             if key not in self._compiling:
                 self._compiling.add(key)
                 import threading
@@ -303,6 +316,7 @@ class FusedServeTrack:
             self._aot_retry[key] = now + 30.0
             return functools.partial(_serve_track, **statics)
         self._exes[key] = exe
+        self._exe_statics[key] = dict(statics)
         self._last_key = key
         return exe
 
