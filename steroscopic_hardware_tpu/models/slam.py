@@ -532,6 +532,7 @@ class StereoSLAM:
                  pg_mesh=None, async_backend: bool = False,
                  loop_backlog_cap: int = 8,
                  max_loop_keyframes: int = 1500,
+                 pg_horizon: int | None = None,
                  **vo_kwargs):
         self.vo = StereoVO(camera, **vo_kwargs)
         self.cam = camera
@@ -579,6 +580,14 @@ class StereoSLAM:
         # but 3 orders of magnitude lighter). See _cull_history.
         self.max_loop_keyframes = int(max_loop_keyframes)
         self.culled_keyframes = 0
+        # fixed-lag pose-graph horizon: with a value, each closure
+        # optimizes only the newest pg_horizon keyframe poses (older
+        # ones frozen; loop edges into the frozen prefix still
+        # constrain the suffix) — bounds convergence work on
+        # hours-long, closure-heavy sessions. None (default) optimizes
+        # the whole graph; the 20-min soak measured per-closure cost
+        # FLAT through 2,857 nodes, so this is a cap for beyond that.
+        self.pg_horizon = pg_horizon
         self.frame_idx = 0
         self.ba_runs = 0
         self.last_ba_errs: np.ndarray | None = None
@@ -1145,10 +1154,14 @@ class StereoSLAM:
                     axis_name=self._pg_axis,
                 )
         else:
+            n_fixed = None
+            if self.pg_horizon is not None:
+                n_fixed = jnp.int32(max(1, M - self.pg_horizon))
             with dispatch("sporadic"):
                 xi_opt, _ = pose_graph_optimize(
                     jnp.asarray(nodes), jnp.asarray(edges),
                     jnp.asarray(meas), jnp.asarray(w), iters=10,
+                    n_fixed=n_fixed,
                 )
         xi_opt = np.asarray(xi_opt)[:M]
         with self._lock:
@@ -1371,7 +1384,7 @@ class StereoSLAM:
 def pose_graph_optimize(
     xi_nodes, edges_ij, xi_meas, weights, *, iters: int = 15,
     damping: float = 1e-4, fix_first: bool = True, cg_iters: int = 100,
-    cg_tol: float = 1e-8, axis_name: str | None = None,
+    cg_tol: float = 1e-8, axis_name: str | None = None, n_fixed=None,
 ):
     """Gauss-Newton pose graph optimization, block-sparse.
 
@@ -1384,6 +1397,10 @@ def pose_graph_optimize(
         bucketed shapes and stop recompiling per keyframe/loop closure
         (VERDICT r2 directive #5; ``StereoSLAM._optimize_pose_graph``
         pads to powers of two).
+      n_fixed:  optional TRACED scalar — freeze the first n_fixed nodes
+        (fixed-lag horizon for unbounded sessions; overrides
+        ``fix_first``, keep it >= 1 to pin the gauge). One compiled
+        program per bucket covers every horizon position.
     Returns optimized (M, 6) twists and per-iteration weighted costs.
 
     Residual per edge: log( exp(xi_meas)^-1 * T_j * T_i^-1 ).
@@ -1437,6 +1454,16 @@ def pose_graph_optimize(
         return r, J[:, 0, :], J[:, 1, :]
 
     def dof_mask():
+        if n_fixed is not None:
+            # fixed-lag horizon: the first n_fixed nodes are frozen
+            # (n_fixed is TRACED — one compiled program covers every
+            # horizon position; n_fixed >= 1 keeps the gauge pinned).
+            # Loop edges into the frozen prefix still constrain the
+            # free suffix — fixed-lag smoothing semantics.
+            return jnp.broadcast_to(
+                (jnp.arange(M) >= n_fixed).astype(jnp.float32)[:, None],
+                (M, 6),
+            )
         if not fix_first:
             return jnp.ones((M, 6), jnp.float32)
         return jnp.concatenate(
@@ -1525,6 +1552,10 @@ def pose_graph_optimize(
             cg_cond, cg_body, (d0, r0, z0, p0, rz0, 0)
         )
         xi_new = jax.vmap(retract)(delta * m, xi_all)
+        # fully-frozen nodes pass through BIT-EXACT (retract(0, x) is a
+        # log(exp(x)) round trip, ~1e-7 of float churn otherwise)
+        frozen = m.max(axis=1, keepdims=True) == 0
+        xi_new = jnp.where(frozen, xi_all, xi_new)
         return xi_new, esum((r**2 * weights[:, None]).sum())
 
     xi_out, costs = jax.lax.scan(gn_step, xi_nodes, None, length=iters)

@@ -426,3 +426,68 @@ def test_backend_sheds_loop_backlog(rng):
     # the backlog that accumulated during the wedge was shed, not
     # drained one-by-one
     assert slam.loop_checks_skipped > 0
+
+
+def test_pose_graph_fixed_lag_horizon(rng):
+    """n_fixed freezes the oldest nodes exactly (fixed-lag smoothing):
+    frozen poses are bit-unchanged, the free suffix still converges on
+    the loop-closure constraint, and the traced n_fixed means one
+    program serves every horizon position."""
+    M = 8
+    xi_true = np.zeros((M, 6), np.float32)
+    for i in range(1, M):
+        xi_true[i] = np.asarray(
+            se3.se3_log(*se3.compose(
+                *se3.se3_exp(jnp.asarray(
+                    np.array([0.5, 0, 0, 0, np.pi / 4, 0], np.float32))),
+                *se3.se3_exp(jnp.asarray(xi_true[i - 1])),
+            ))
+        )
+
+    def rel(i, j):
+        Ri, ti = se3.se3_exp(jnp.asarray(xi_true[i]))
+        Rj, tj = se3.se3_exp(jnp.asarray(xi_true[j]))
+        Rii, tii = se3.inverse(Ri, ti)
+        return np.asarray(se3.se3_log(*se3.compose(Rj, tj, Rii, tii)))
+
+    noisy = xi_true + rng.normal(0, 0.05, xi_true.shape).astype(
+        np.float32)
+    noisy[0] = xi_true[0]
+    edges = np.array([(i, i + 1) for i in range(M - 1)] + [(M - 1, 0)],
+                     np.int32)
+    meas = np.stack([rel(i, j) for i, j in edges]).astype(np.float32)
+    w = np.ones(len(edges), np.float32)
+
+    for nf in (1, 3, 5):
+        xi_opt, costs = pose_graph_optimize(
+            jnp.asarray(noisy), jnp.asarray(edges), jnp.asarray(meas),
+            jnp.asarray(w), iters=10, n_fixed=jnp.int32(nf),
+        )
+        xi_opt = np.asarray(xi_opt)
+        np.testing.assert_array_equal(xi_opt[:nf], noisy[:nf])
+        assert float(costs[-1]) < float(costs[0])
+        # the free suffix moved toward the truth
+        err0 = np.abs(noisy[nf:] - xi_true[nf:]).mean()
+        err1 = np.abs(xi_opt[nf:] - xi_true[nf:]).mean()
+        assert err1 < err0
+
+
+def test_slam_with_pose_graph_horizon(rng):
+    """StereoSLAM(pg_horizon=N) runs the full loop-closure stack with
+    fixed-lag optimization and still closes loops without errors."""
+    from steroscopic_hardware_tpu.models.slam import StereoSLAM
+    from steroscopic_hardware_tpu.utils.synth import (
+        SyntheticScene, loop_trajectory,
+    )
+
+    scene = SyntheticScene(CAM, size=(H, W), n_landmarks=80,
+                          seed=int(rng.integers(0, 2**31)))
+    frames = [scene.render_pair(xi) for xi in loop_trajectory(20)]
+    slam = StereoSLAM(CAM, block_size=7, max_disparity=32,
+                      max_keypoints=128, fast_threshold=15, window=3,
+                      kf_every=2, ba_iters=4, loop_closure=True,
+                      loop_min_matches=15, loop_gap=6, pg_horizon=4)
+    for left, right in frames:
+        slam.process(left, right)
+    assert slam.loops_closed >= 1
+    assert slam.backend_errors == 0
