@@ -75,6 +75,12 @@ def main(argv=None):
     ap.add_argument("--loop-closure", action="store_true",
                     help="enable SLAM loop closure (BoW-indexed place "
                          "recognition + pose-graph re-optimization)")
+    ap.add_argument("--pg-horizon", type=int, default=None,
+                    help="fixed-lag pose-graph horizon: each closure "
+                         "optimizes only the newest N keyframe poses "
+                         "(older frozen) — bounds solver work on "
+                         "hours-long sessions; default optimizes the "
+                         "whole graph")
     ap.add_argument("--auth-token", default=os.environ.get("SHTPU_TOKEN"),
                     help="require this bearer token on every endpoint "
                          "except /checkhealth (header 'Authorization: "
@@ -165,7 +171,8 @@ def main(argv=None):
             manager.bus, cam, checkpoint_dir=args.slam_checkpoint_dir,
             rectifier=rectifier,
             slam_kwargs={"loop_closure": args.loop_closure,
-                         "frontend": args.slam_frontend})
+                         "frontend": args.slam_frontend,
+                         "pg_horizon": args.pg_horizon})
 
     # fused serve+track (default when --slam): the depth serve batch
     # tracks the newest pair in the SAME dispatch — one upload + one
